@@ -1,0 +1,85 @@
+package graft.model
+
+/** Core data model for the KG-construction engine.
+  *
+  * Shapes mirror the reference's fundamental abstractions (see SURVEY.md §1):
+  *  - SourceFile  = the Iceberg-shaped input row (BASELINE.json input_hint).
+  *  - Triple      = one RDF statement, cf. rdflib Graph usage throughout the
+  *    reference (e.g. /root/reference/ferenda/decorators.py:203-227).
+  *  - Mention     = one detected citation span, cf. CitationParser
+  *    (/root/reference/ferenda/citationparser.py:65-96).
+  *  - Lineage     = per-(partition,stage) processing record, cf. DocumentEntry
+  *    (/root/reference/ferenda/documententry.py:41-104).
+  */
+final case class SourceFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    objIsLiteral: Boolean,
+    objDatatype: Option[String],
+    objLang: Option[String],
+    graph: String)
+
+object Triple {
+  def uri(s: String, p: String, o: String, g: String): Triple =
+    Triple(s, p, o, objIsLiteral = false, None, None, g)
+  def lit(s: String, p: String, o: String, g: String,
+          datatype: Option[String] = None, lang: Option[String] = None): Triple =
+    Triple(s, p, o, objIsLiteral = true, datatype, lang, g)
+}
+
+/** Well-known vocabulary IRIs (expanded, never prefixed — FIXTURES.md §3). */
+object Vocab {
+  val RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val XSD = "http://www.w3.org/2001/XMLSchema#"
+  val DCTERMS = "http://purl.org/dc/terms/"
+  val BIBO = "http://purl.org/ontology/bibo/"
+  val RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+  val SKOS_PREF = "http://www.w3.org/2004/02/skos/core#prefLabel"
+  val SKOS_ALT = "http://www.w3.org/2004/02/skos/core#altLabel"
+  val FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+  val OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+  val PROV = "http://www.w3.org/ns/prov#"
+
+  def dcterms(local: String): String = DCTERMS + local
+  def bibo(local: String): String = BIBO + local
+  def xsd(local: String): String = XSD + local
+  /** rfc ontology namespace used by the reference RFC repo
+    * (/root/reference/ferenda/sources/tech/rfc.py:524-535). */
+  val RFC_NS = "http://example.org/ontology/rfc/"
+  def rfc(local: String): String = RFC_NS + local
+}
+
+/** A detected citation mention inside one document.
+  * start/end are character offsets into the source span's text. */
+final case class Mention(
+    docId: String,
+    repo: String,
+    lang: String,
+    grammar: String,
+    matchText: String,
+    start: Int,
+    end: Int,
+    /** candidate key for entity linking, e.g. "rfc:2616" or a label */
+    candidateKey: String)
+
+/** Per-(stage, partition) lineage + metrics record — the north_rule's
+  * resumability unit. Mirrors DocumentEntry status maps
+  * (/root/reference/ferenda/documententry.py:266-342). */
+final case class Lineage(
+    stage: String,
+    partitionKey: String, // e.g. s"$repo/$lang"
+    inputRows: Long,
+    outputRows: Long,
+    contentSha256Xor: String, // order-independent XOR fold of row sha256s
+    durationSec: Double,
+    success: Boolean,
+    error: Option[String],
+    runId: String)
