@@ -1,0 +1,211 @@
+package graft.parse
+
+/** FSM configuration for RFC-shaped plain-text documents.
+  *
+  * Semantics re-expressed from the reference RFC repo's parser setup
+  * (/root/reference/ferenda/sources/tech/rfc.py:133-428): recognizer order,
+  * transition table, and constructor behavior all match, so the golden
+  * fixture test/files/rfc/basic.txt → basic.xml passes.
+  */
+object RfcParser {
+  import FsmParser._
+
+  /** (leftColumn, rightColumn, lineLength) per line, split on the first
+    * 3-space run (rfc.py:164-177). */
+  private def splitColumns(chunk: String): Seq[(String, String, Int)] =
+    chunk.split("\n", -1).toSeq.map { line =>
+      val i = line.indexOf("   ")
+      if (i >= 0) (line.substring(0, i), line.substring(i + 3), line.length)
+      else (line, "", line.length)
+    }
+
+  private def isRfcHeaderChunk(chunk: String, lenient: Boolean): Boolean = {
+    val cols = splitColumns(chunk)
+    if (cols.size < 2) return false
+    val targetLen = cols.head._3
+    cols.forall { case (_, right, len) =>
+      if (right.isEmpty && len > 40) false
+      else if (right.nonEmpty && len != targetLen && !lenient) false
+      else true
+    }
+  }
+
+  private val sectionStart = """^(\d[.\d]*) +(.*[^.])$""".r
+
+  /** "1.  Introduction" → (ordinal, title); None for plain paragraphs. */
+  private def analyzeSectionStart(chunk: String): Option[(String, String)] =
+    // the reference regex is a single-line match: any newline in the chunk
+    // means it is a paragraph, not a section heading
+    if (chunk.contains("\n")) None
+    else sectionStart.findFirstMatchIn(chunk).map { m =>
+      (m.group(1).replaceAll("\\.+$", ""), m.group(2))
+    }
+
+  private def sectionDepth(chunk: String): Int =
+    analyzeSectionStart(chunk)
+      .map(_._1.split("\\.").count(_.nonEmpty)).getOrElse(0)
+
+  private def isPreformattedChunk(chunk: String): Boolean = {
+    // drop the standard 3-space paragraph indent, un-double sentence spacing;
+    // remaining double spaces / leader dots indicate tables or TOCs
+    val stripped = chunk.split("\n", -1)
+      .map(l => if (l.length > 3) l.substring(3) else "")
+      .mkString("\n")
+      .replace(".  ", ". ")
+    stripped.contains("  ") || stripped.contains("....") ||
+      stripped.contains(". . . ")
+  }
+
+  private def peek(p: FsmParser): String = p.reader.peek()
+
+  // ---- recognizers (declaration order = priority order, rfc.py:381-392) --
+  private val isPagebreak = Recognizer("pagebreak", p => peek(p).contains('\f'))
+  private val isRfcHeader =
+    Recognizer("rfcheader", p => isRfcHeaderChunk(peek(p), lenient = true))
+  private val isDocTitle = Recognizer("doctitle", _ => true)
+  private val isSection = Recognizer("section", p => sectionDepth(peek(p)) == 1)
+  private val isSubsection =
+    Recognizer("subsection", p => sectionDepth(peek(p)) == 2)
+  private val isSubsubsection =
+    Recognizer("subsubsection", p => sectionDepth(peek(p)) == 3)
+  private val isHeader = Recognizer("header", { p =>
+    val chunk = peek(p)
+    val s = chunk.trim
+    s.nonEmpty && !s.contains("\n") && !s.endsWith(".") && !chunk.startsWith(" ")
+  })
+  private val isUlListitem =
+    Recognizer("ul_listitem", p => peek(p).trim.startsWith("o  "))
+  private val isPreformatted =
+    Recognizer("preformatted", p => isPreformattedChunk(peek(p)))
+  private val isParagraph = Recognizer("paragraph", _ => true)
+
+  // ---- constructors -----------------------------------------------------
+  private def makeBody = Constructor("make_body", pushesState = true,
+    p => Some(p.makeChildren(TreeNode("Body"))))
+
+  private def makeRfcHeader = Constructor("make_rfcheader", pushesState = false, { p =>
+    var chunk = p.reader.next()
+    // re-join a header split by a spurious blank line (rfc.py:337-339):
+    // strict (non-lenient) column check against the next chunk
+    if (p.reader.peekOpt().exists(c => isRfcHeaderChunk(c, lenient = false)))
+      chunk += "\n" + p.reader.next()
+    Some(TreeNode("RFCHeader", text = Some(chunk)))
+  })
+
+  private def makeDocTitle = Constructor("make_doctitle", pushesState = false,
+    p => Some(TreeNode("DocTitle", text = Some(p.reader.next()))))
+
+  private def makePreambleSection = Constructor("make_preamble_section",
+    pushesState = true, { p =>
+      val title = p.reader.next()
+      Some(p.makeChildren(TreeNode("PreambleSection",
+        attrs = Vector("title" -> title))))
+    })
+
+  private def makeAbstract = Constructor("make_abstract", pushesState = true,
+    p => Some(p.makeChildren(TreeNode("PreambleSection",
+      attrs = Vector("title" -> "(Abstract)")))))
+
+  private def skipPagebreak = Constructor("skip_pagebreak", pushesState = false, { p =>
+    val chunk = p.reader.next()
+    val lastline = chunk.split("\n", -1).last
+    val parts = lastline.split("  +", -1)
+    if (parts.length > 2)
+      Some(TreeNode("Pagebreak", attrs = Vector("shorttitle" -> parts(1))))
+    else None
+  })
+
+  private def makeParagraph = Constructor("make_paragraph", pushesState = false,
+    p => Some(TreeNode("Paragraph")
+      .appendText(p.reader.next().split("\\s+").filter(_.nonEmpty).mkString(" "))))
+
+  private def makePreformatted = Constructor("make_preformatted", pushesState = false,
+    p => Some(TreeNode("Preformatted").appendText(p.reader.next())))
+
+  private def makeSectionAt(tag: String, basefile: String) =
+    Constructor(s"make_${tag.toLowerCase}", pushesState = true, { p =>
+      val chunk = p.reader.next()
+      val (ordinal, title) = analyzeSectionStart(chunk)
+        .getOrElse(throw new IllegalStateException(s"not a section: $chunk"))
+      Some(p.makeChildren(TreeNode(tag, attrs = Vector(
+        "ordinal" -> ordinal,
+        "title" -> title,
+        "identifier" -> s"RFC $basefile, section $ordinal"))))
+    })
+
+  private def makeListItem = Constructor("make_listitem", pushesState = true, { p =>
+    val chunk = p.reader.next()
+    // analyze_listitem (rfc.py:370-379): "   o  " prefix → disc item
+    val rest = if (chunk.startsWith("   o  ")) chunk.substring(6) else chunk
+    Some(p.makeChildren(TreeNode("ListItem").appendText(rest)))
+  })
+
+  private def makeUnorderedList = Constructor("make_unordered_list",
+    pushesState = true, { p =>
+      var ol = TreeNode("UnorderedList", attrs = Vector("type" -> "disc"))
+      // first item is built eagerly in its own frame (rfc.py:322-327)
+      val first = {
+        val c = makeListItem
+        // equivalent of parser.make_child(make_listitem, "listitem")
+        p.makeChildrenFrame(c, "listitem")
+      }
+      first.foreach(e => ol = ol.appendChild(e))
+      Some(p.makeChildren(ol))
+    })
+
+  def config(basefile: String = "0"): Config = {
+    val makeSection = makeSectionAt("Section", basefile)
+    val makeSubsection = makeSectionAt("Subsection", basefile)
+    val makeSubsubsection = makeSectionAt("Subsubsection", basefile)
+    val common = Seq("section", "subsection", "subsubsection")
+
+    val t = Map.newBuilder[(String, String), Transition]
+    t += ("body" -> "rfcheader") -> Transition(Some(makeRfcHeader), Some("doctitle"))
+    t += ("doctitle" -> "doctitle") -> Transition(Some(makeDocTitle), Some("preamble"))
+    t += ("preamble" -> "header") -> Transition(Some(makePreambleSection), Some("preamble-section"))
+    t += ("preamble" -> "paragraph") -> Transition(Some(makeAbstract), Some("preamble-section"))
+    t += ("preamble-section" -> "paragraph") -> Transition(Some(makeParagraph), None)
+    t += ("preamble-section" -> "header") -> Transition(None, None)
+    t += ("preamble-section" -> "pagebreak") -> Transition(Some(skipPagebreak), None)
+    t += ("preamble-section" -> "section") -> Transition(None, Some("after-preamble"))
+    t += ("after-preamble" -> "section") -> Transition(Some(makeSection), Some("section"))
+    t += ("section" -> "subsection") -> Transition(Some(makeSubsection), Some("subsection"))
+    t += ("section" -> "section") -> Transition(None, None)
+    t += ("subsection" -> "subsubsection") -> Transition(Some(makeSubsubsection), Some("subsubsection"))
+    t += ("subsection" -> "subsection") -> Transition(None, None)
+    t += ("subsection" -> "section") -> Transition(None, None)
+    t += ("subsubsection" -> "subsubsection") -> Transition(None, None)
+    t += ("subsubsection" -> "subsection") -> Transition(None, None)
+    t += ("subsubsection" -> "section") -> Transition(None, None)
+    for (s <- common) {
+      t += (s -> "ul_listitem") -> Transition(Some(makeUnorderedList), Some("ul-list"))
+      t += (s -> "preformatted") -> Transition(Some(makePreformatted), None)
+      t += (s -> "paragraph") -> Transition(Some(makeParagraph), None)
+      t += (s -> "pagebreak") -> Transition(Some(skipPagebreak), None)
+    }
+    t += ("ul-list" -> "ul_listitem") -> Transition(Some(makeListItem), Some("listitem"))
+    t += ("ul-list" -> "paragraph") -> Transition(None, None)
+    t += ("listitem" -> "paragraph") -> Transition(None, None)
+
+    Config(
+      recognizers = Vector(isPagebreak, isRfcHeader, isDocTitle, isSection,
+        isSubsection, isSubsubsection, isHeader, isUlListitem,
+        isPreformatted, isParagraph),
+      transitions = t.result(),
+      initialState = "body",
+      initialConstructor = makeBody)
+  }
+
+  /** Split raw document text into paragraph chunks: leading newlines
+    * consumed, chunk runs to the next blank line (TextReader.readparagraph,
+    * /root/reference/ferenda/textreader.py:159-167); faux-bold backspace
+    * sequences scrubbed (rfc.py:462-467). */
+  def paragraphs(text: String): Iterator[String] = {
+    val clean = text.replaceAll(".\\u0008", "")
+    clean.split("\n\n+", -1).iterator.map(_.dropWhile(_ == '\n')).filter(_.nonEmpty)
+  }
+
+  /** Parse one RFC-shaped document into its element tree. */
+  def parse(text: String, basefile: String = "0"): TreeNode =
+    new FsmParser(config(basefile), paragraphs(text)).parse()
+}
