@@ -1,0 +1,90 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative connected components over owl:sameAs edges — the
+  * canonicalization stage the north_star mandates.
+  *
+  * The reference keeps sameAs as curated assertions and lets SPARQL see both
+  * URIs (/root/reference/ferenda/sources/legal/eu/res/extra/sameas.n3:42-77;
+  * exclusion from dep edges at documentrepository.py:2034). We instead
+  * resolve coreference once: every URI maps to the lexicographically
+  * smallest URI of its sameAs-component, and the triple table is rewritten
+  * through that map.
+  *
+  * Algorithm: min-label propagation with pointer jumping (path doubling),
+  * DataFrame-only (no RDD/GraphX). One round = (a) every node adopts the
+  * min component label among itself and its neighbors' labels; (b) labels
+  * are mapped through themselves (comp := comp(comp)), halving pointer-chain
+  * depth. Convergence in O(log d) rounds for diameter d; alias graphs are
+  * shallow stars/chains (d <= ~4 here), so 2-3 rounds in practice. For
+  * adversarial giant components, the same loop structure accepts the
+  * large-star/small-star reformulation (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") — the per-round joins are identical
+  * shapes; we keep the simpler variant and bound rounds + localCheckpoint
+  * each round to cut lineage (SURVEY.md §4).
+  */
+object Cc {
+
+  /** edges: two string columns (src, dst), undirected. Returns
+    * (uri, canon) for every vertex that appears in any edge; vertices not
+    * present map to themselves implicitly (rewrite uses left join +
+    * coalesce). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    // symmetric closure, deduped once up front
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var comp = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // (a) neighbor-min: candidate label for dst = comp(src)
+      val nbrMin = sym.join(comp, sym("src") === comp("id"))
+        .select(sym("dst").as("id"), col("comp"))
+        .groupBy("id").agg(min("comp").as("nbr"))
+      val stepped = comp.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // (b) pointer jumping: comp := comp(comp)
+      val m = stepped.select(col("id").as("mid"), col("comp").as("mcomp"))
+      val jumped = stepped.join(m, stepped("comp") === m("mid"), "left")
+        .select(stepped("id"),
+          coalesce(col("mcomp"), stepped("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = jumped.as("a")
+        .join(comp.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.comp") =!= col("b.comp"))
+        .limit(1).count()
+      comp = jumped
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger("graft.kg.Cc").warn(
+        s"Cc: not converged after $maxIter rounds; labels may be non-minimal")
+    comp.toDF("uri", "canon")
+  }
+
+  /** Rewrite subj/obj of a triple table through the canon map. Literals are
+    * never rewritten. `canon` is small relative to triples (one row per
+    * aliased URI) → broadcast both probes; output deduped (two aliases of
+    * the same statement collapse to one canonical row). */
+  def rewrite(triples: DataFrame, canon: DataFrame): DataFrame = {
+    val cs = broadcast(canon.select(col("uri").as("_su"), col("canon").as("_sc")))
+    val co = broadcast(canon.select(col("uri").as("_ou"), col("canon").as("_oc")))
+    triples
+      .join(cs, triples("subj") === col("_su"), "left")
+      .join(co, triples("obj") === col("_ou") && !triples("objIsLiteral"), "left")
+      .withColumn("subj", coalesce(col("_sc"), col("subj")))
+      .withColumn("obj", coalesce(col("_oc"), col("obj")))
+      .drop("_su", "_sc", "_ou", "_oc")
+      .dropDuplicates()
+  }
+}

@@ -1,0 +1,353 @@
+package graft.kg
+
+import graft.model.{SourceFile, Triple, Vocab}
+
+/** Deterministic synthetic corpus generator.
+  *
+  * Produces the Iceberg-shaped input table (repo, path, commit, lang,
+  * content) of BASELINE.json's input_hint: RFC-like plain-text documents in
+  * the shapes recognized by the reference parser
+  * (/root/reference/ferenda/sources/tech/rfc.py:133-452 — header block,
+  * centered title, preamble sections, numbered sections, `o  ` list items,
+  * pagebreak lines with \f, embedded citations per
+  * /root/reference/ferenda/citationpatterns.py:16-36).
+  *
+  * Each document is generated from a per-doc splitmix64 stream seeded by
+  * (seed, index) only, so generation is order-independent and can run on
+  * executors via `spark.range(n).map(i => Corpus.doc(seed, i, n))` — the
+  * corpus never has to exist on the driver, which is what makes the
+  * 10^12-file scale claim honest.
+  *
+  * Alongside every document the generator emits the GROUND-TRUTH triples
+  * the reference implementation would distill from it (the role of ferenda's
+  * golden distilled .ttl fixtures, /root/reference/ferenda/testutil.py:
+  * 648-668). The P/R>=0.95 gate (BASELINE.json) is scored against these.
+  * Ground truth is produced from the *generation plan*, not by running our
+  * parser — the two sides are independent by construction.
+  *
+  * Skew: repo assignment is deliberately pathological — ~35% of all files
+  * land in one mega-repo (north_rule: "AQE skew handling for pathological
+  * mega-repos"); the rest spread over ~40 long-tail repos.
+  */
+object Corpus {
+
+  // ------------------------------------------------------------------ PRNG
+  /** splitmix64 — public-domain mixing constants (Steele et al.). */
+  final class Rng(seed0: Long) {
+    private var state = seed0
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    /** uniform in [0, n) */
+    def nextInt(n: Int): Int = (Math.floorMod(nextLong(), n.toLong)).toInt
+    def nextBool(p: Double): Boolean = (nextInt(10000) / 10000.0) < p
+    def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
+  }
+
+  // ------------------------------------------------------- vocabulary pools
+  private val words = Vector(
+    "packet", "stream", "session", "token", "header", "payload", "route",
+    "gateway", "proxy", "cache", "digest", "handshake", "cipher", "frame",
+    "socket", "buffer", "lease", "registry", "binding", "option", "flag",
+    "window", "segment", "octet", "label", "prefix", "scope", "policy",
+    "timer", "retry", "probe", "origin", "relay", "anchor", "zone")
+  private val verbs = Vector(
+    "defines", "updates", "describes", "specifies", "extends", "clarifies",
+    "deprecates", "introduces", "documents", "standardizes")
+  private val titleWords = Vector(
+    "Mechanism", "Extension", "Protocol", "Format", "Profile", "Framework",
+    "Procedure", "Scheme", "Registry", "Considerations")
+  private val surnames = Vector(
+    "Fielding", "Berners-Lee", "Mockapetris", "Postel", "Bradner", "Crocker",
+    "Rosenberg", "Schulzrinne", "Rekhter", "Deering", "Hinden", "Droms")
+  private val initials = "ABCDEFGHJKLMNPRSTW"
+  private val monthNames = Vector("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val sectionTitles = Vector(
+    "Introduction", "Terminology", "Protocol Overview", "Message Format",
+    "Error Handling", "Security Considerations", "IANA Considerations",
+    "Operational Notes", "Deployment", "Examples")
+  /** publisher header lines; some are deliberate typos/variants of the
+    * canonical labels in EntityDict.publishers so the fuzzy (Jaccard/ratio)
+    * linking path is exercised (documentrepository.py:539-545 cutoff 0.8). */
+  private val publisherLines = Vector(
+    "Internet Engineering Task Force (IETF)",    // exact
+    "Internet Engineering Task Force",           // exact (short form)
+    "Network Working Group",                     // exact
+    "Internet Engineering Task Force (IETF)",    // weight the common one
+    "Internet Enginering Task Force (IETF)",     // typo -> fuzzy
+    "Network Working Group ")                    // trailing space -> fuzzy
+  private val categories = Vector(
+    "Standards Track", "Informational", "Experimental",
+    "Best Current Practice", "Historic")
+  private val langs = Vector("en", "en", "en", "en", "en", "en", "sv", "de")
+  private val urls = Vector(
+    "http://example.com/registry/params",
+    "https://example.net/spec/v2",
+    "http://example.org/archive/notes.txt")
+
+  final val megaRepo = "repo-mega"
+  final val nTailRepos = 40
+
+  /** canonical RFC number for document index i (stable, collision-free). */
+  def rfcNum(i: Long): Long = 1000L + i
+
+  // ------------------------------------------------------------- structures
+  /** Everything generated for one document: the input row plus the triples
+    * the reference would distill (post-canonicalization form uses canonical
+    * RFC URIs throughout — citations always format to the canonical URI). */
+  final case class GenDoc(src: SourceFile, truth: Vector[Triple])
+
+  /** Curated owl:sameAs edges (the role of the reference's curated
+    * sameas.n3, /root/reference/ferenda/sources/legal/eu/res/extra/
+    * sameas.n3:42-77): every 7th document also has 1-2 legacy alias URIs
+    * chained alias2 -> alias1 -> canonical, exercising multi-hop CC. */
+  def sameAsEdges(seed: Long, n: Long): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    var i = 0L
+    while (i < n) {
+      if (i % 7 == 0) {
+        val canon = EntityDict.canonicalRfcUri(rfcNum(i).toString)
+        val a1 = s"${EntityDict.base}/legacy/rfc${rfcNum(i)}"
+        out += ((a1, canon))
+        if (i % 21 == 0) {
+          val a2 = s"${EntityDict.base}/old/ietf-doc-${rfcNum(i)}"
+          out += ((a2, a1))
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Curated metadata published under alias URIs (what canonicalization must
+    * fold into the canonical graph). Ground truth for these is the same
+    * triple with the canonical subject. */
+  def aliasTriples(seed: Long, n: Long): (Vector[Triple], Vector[Triple]) = {
+    val raw = Vector.newBuilder[Triple]
+    val truth = Vector.newBuilder[Triple]
+    val g = s"${EntityDict.base}/dataset/curated"
+    var i = 0L
+    while (i < n) {
+      if (i % 7 == 0) {
+        val canon = EntityDict.canonicalRfcUri(rfcNum(i).toString)
+        val alias = s"${EntityDict.base}/legacy/rfc${rfcNum(i)}"
+        val t = Triple.lit(alias, Vocab.SKOS_ALT, s"Legacy RFC ${rfcNum(i)}", g)
+        raw += t
+        truth += t.copy(subj = canon)
+      }
+      i += 1
+    }
+    (raw.result(), truth.result())
+  }
+
+  // ----------------------------------------------------------- doc assembly
+  private def wrap(text: String, indent: String, width: Int = 69): String = {
+    val sb = new StringBuilder
+    var line = new StringBuilder(indent)
+    for (w <- text.split(" ")) {
+      if (line.length + w.length + 1 > width && line.length > indent.length) {
+        sb.append(line).append('\n'); line = new StringBuilder(indent)
+      }
+      if (line.length > indent.length) line.append(' ')
+      line.append(w)
+    }
+    sb.append(line).toString
+  }
+
+  private def sentence(r: Rng): String = {
+    val n = 6 + r.nextInt(8)
+    val ws = (0 until n).map(_ => r.pick(words))
+    s"The ${ws.head} ${r.pick(verbs)} the ${ws.tail.mkString(" ")}."
+  }
+
+  /** One embedded citation; returns (text fragment, target URI). */
+  private def citation(r: Rng, selfNum: Long, n: Long): (String, String) = {
+    val target = rfcNum(Math.floorMod(r.nextLong(), n))
+    r.nextInt(4) match {
+      case 0 => (s"RFC $target", EntityDict.canonicalRfcUri(target.toString))
+      case 1 => (s"[RFC$target]", EntityDict.canonicalRfcUri(target.toString))
+      case 2 =>
+        val sec = s"${1 + r.nextInt(5)}.${1 + r.nextInt(4)}"
+        (s"section $sec of RFC $target",
+          EntityDict.canonicalRfcUri(target.toString) + s"#S$sec")
+      case _ =>
+        val u = r.pick(urls)
+        (s"see $u", u)
+    }
+  }
+
+  /** Generate document index i of a corpus of n. Pure function of
+    * (seed, i, n). */
+  def doc(seed: Long, i: Long, n: Long): GenDoc = {
+    val r = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L) ^ 0x6a09e667f3bcc908L)
+    val num = rfcNum(i)
+    val basefile = num.toString
+    val uri = EntityDict.canonicalRfcUri(basefile)
+    val repo =
+      if (r.nextBool(0.35)) megaRepo else s"repo-${r.nextInt(nTailRepos)}"
+    val lang = r.pick(langs)
+    val graph = s"${EntityDict.base}/dataset/$repo"
+    val truth = Vector.newBuilder[Triple]
+
+    // ---- header block
+    val publisher = r.pick(publisherLines)
+    val category = r.pick(categories)
+    val nAuthors = 1 + r.nextInt(3)
+    val authors = (0 until nAuthors).map { _ =>
+      s"${initials(r.nextInt(initials.length))}. ${r.pick(surnames)}"
+    }
+    val month = r.pick(monthNames)
+    val yr = 1990 + r.nextInt(35)
+    val updates: Seq[Long] =
+      if (i > 0 && r.nextBool(0.4))
+        Seq(rfcNum(Math.floorMod(r.nextLong(), i))) else Seq.empty
+    val obsoletes: Seq[Long] =
+      if (i > 1 && r.nextBool(0.25))
+        Seq(rfcNum(Math.floorMod(r.nextLong(), i))) else Seq.empty
+    val hasIssn = r.nextBool(0.7)
+    val bcp: Option[Int] = if (r.nextBool(0.1)) Some(10 + r.nextInt(90)) else None
+
+    val leftLines = Vector.newBuilder[String]
+    leftLines += publisher.trim
+    leftLines += s"Request for Comments: $num"
+    updates.foreach(u => leftLines += s"Updates: $u")
+    obsoletes.foreach(o => leftLines += s"Obsoletes: $o")
+    bcp.foreach(b => leftLines += s"BCP: $b")
+    leftLines += s"Category: $category"
+    if (hasIssn) leftLines += "ISSN: 2070-1721"
+    val rightLines = authors.toVector :+ s"$month $yr"
+    val lls = leftLines.result()
+    val headerWidth = 72
+    val headerLines = (0 until math.max(lls.size, rightLines.size)).map { k =>
+      val l = if (k < lls.size) lls(k) else ""
+      val rgt = if (k < rightLines.size) rightLines(k) else ""
+      if (rgt.isEmpty) l
+      else l + (" " * math.max(3, headerWidth - l.length - rgt.length)) + rgt
+    }
+    val header = headerLines.mkString("\n")
+
+    // header ground truth (mirrors rfc.py:550-644 semantics)
+    val pubUri = EntityDict.lookup(EntityDict.publishers, publisher.trim)
+    pubUri match {
+      case Some(p) => truth += Triple.uri(uri, Vocab.dcterms("publisher"), p, graph)
+      case None => truth += Triple.lit(uri, Vocab.dcterms("publisher"), publisher.trim, graph)
+    }
+    truth += Triple.lit(uri, Vocab.dcterms("identifier"), s"RFC $num", graph)
+    truth += Triple.uri(uri, Vocab.dcterms("subject"),
+      EntityDict.categories(category), graph)
+    if (hasIssn) truth += Triple.lit(uri, Vocab.dcterms("issn"), "2070-1721", graph)
+    updates.foreach(u => truth += Triple.uri(uri, Vocab.rfc("updates"),
+      EntityDict.canonicalRfcUri(u.toString), graph))
+    obsoletes.foreach(o => truth += Triple.uri(uri, Vocab.rfc("obsoletes"),
+      EntityDict.canonicalRfcUri(o.toString), graph))
+    bcp.foreach(b => truth += Triple.lit(uri, Vocab.rfc("bcpnumber"), b.toString, graph))
+    authors.foreach(a => truth += Triple.lit(uri, Vocab.dcterms("creator"), a, graph))
+    truth += Triple.lit(uri, Vocab.dcterms("issued"),
+      f"$yr-${monthNames.indexOf(month) + 1}%02d", graph,
+      datatype = Some(Vocab.xsd("gYearMonth")))
+    truth += Triple.uri(uri, Vocab.RDF_TYPE,
+      if (bcp.isDefined) Vocab.rfc("BCP") else Vocab.rfc("RFC"), graph)
+
+    // ---- title
+    val title = s"${r.pick(titleWords)} for ${r.pick(words).capitalize} " +
+      s"${r.pick(words).capitalize} ${r.pick(titleWords)}"
+    val shortTitle = title.split(" ").take(2).mkString(" ")
+    truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
+    truth += Triple.lit(uri, Vocab.bibo("shortTitle"), shortTitle, graph, lang = Some("en"))
+
+    val body = new StringBuilder
+    body.append(header).append("\n\n\n")
+    body.append(wrap(title, " " * math.max(1, (72 - title.length) / 2))).append("\n\n")
+
+    // ---- abstract (no citations kept here to keep GT assembly simple:
+    //      citations go in numbered sections below)
+    body.append("Abstract\n\n")
+    body.append(wrap(sentence(r) + " " + sentence(r), "   ")).append("\n\n")
+    body.append("Status of This Memo\n\n")
+    body.append(wrap(s"This document is ${if (bcp.isDefined) "a Best Current Practice" else "a product of the community"}. " + sentence(r), "   ")).append("\n\n")
+
+    // ---- table of contents (dropped by the pipeline; must emit nothing)
+    body.append("Table of Contents\n\n")
+    val nSections = 2 + r.nextInt(4)
+    val secTitles = (0 until nSections).map(k =>
+      if (k == nSections - 1) "Security Considerations"
+      else r.pick(sectionTitles))
+    secTitles.zipWithIndex.foreach { case (t, k) =>
+      body.append(f"   ${k + 1}. $t%-40s ..................... ${k + 2}\n")
+    }
+    body.append("\n")
+
+    // ---- numbered sections with citations, lists, pagebreaks
+    var pageNo = 1
+    for (k <- 0 until nSections) {
+      val ord = (k + 1).toString
+      val st = secTitles(k)
+      val secUri = s"$uri#S$ord"
+      body.append(s"$ord.  $st\n\n")
+      truth += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
+      truth += Triple.uri(secUri, Vocab.dcterms("isPartOf"), uri, graph)
+      truth += Triple.lit(secUri, Vocab.dcterms("title"), st, graph, lang = Some("en"))
+      truth += Triple.lit(secUri, Vocab.dcterms("identifier"),
+        s"RFC $basefile, section $ord", graph)
+
+      // paragraph with 1-2 citations
+      val nCits = 1 + r.nextInt(2)
+      val cits = (0 until nCits).map(_ => citation(r, num, n))
+      val para = sentence(r) + " " +
+        cits.map { case (txt, _) => s"As discussed in $txt, ${sentence(r).toLowerCase}" }
+          .mkString(" ") + " " + sentence(r)
+      body.append(wrap(para, "   ")).append("\n\n")
+      cits.foreach { case (_, target) =>
+        truth += Triple.uri(secUri, Vocab.dcterms("references"), target, graph)
+      }
+
+      // optional unordered list
+      if (r.nextBool(0.4)) {
+        val items = 2 + r.nextInt(3)
+        for (_ <- 0 until items)
+          body.append(wrap(sentence(r), "      ").replaceFirst("^      ", "   o  "))
+            .append("\n\n")
+      }
+
+      // optional subsection with one citation
+      if (r.nextBool(0.5)) {
+        val sord = s"$ord.1"
+        val stitle = r.pick(sectionTitles)
+        val subUri = s"$uri#S$sord"
+        body.append(s"$sord.  $stitle\n\n")
+        truth += Triple.uri(subUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
+        truth += Triple.uri(subUri, Vocab.dcterms("isPartOf"), secUri, graph)
+        truth += Triple.lit(subUri, Vocab.dcterms("title"), stitle, graph, lang = Some("en"))
+        truth += Triple.lit(subUri, Vocab.dcterms("identifier"),
+          s"RFC $basefile, section $sord", graph)
+        val (ctxt, ctgt) = citation(r, num, n)
+        body.append(wrap(s"${sentence(r)} Compare with $ctxt for details.", "   "))
+          .append("\n\n")
+        truth += Triple.uri(subUri, Vocab.dcterms("references"), ctgt, graph)
+      }
+
+      // pagebreak between sections (carries the short title)
+      if (k < nSections - 1) {
+        body.append(f"${authors.head.split(' ').last}%-24s$category%-34s[Page $pageNo]\n")
+        body.append("\f\n")
+        body.append(f"RFC $num%-20s$shortTitle%-30s$month $yr\n\n")
+        pageNo += 1
+      }
+    }
+
+    val content = body.toString
+    val path = s"doc/rfc/rfc$num.txt"
+    val commit = f"c${(seed ^ i) & 0xffffffffL}%08x"
+    GenDoc(SourceFile(repo, path, commit, lang, content), truth.result())
+  }
+
+  /** Driver-side corpus for tests (small n). */
+  def gen(seed: Long, n: Int): Vector[GenDoc] =
+    (0L until n.toLong).map(doc(seed, _, n.toLong)).toVector
+}

@@ -68,7 +68,11 @@ final case class Mention(
     start: Int,
     end: Int,
     /** candidate key for entity linking, e.g. "rfc:2616" or a label */
-    candidateKey: String)
+    candidateKey: String,
+    /** URI of the enclosing sub-resource (section) the mention belongs to —
+      * the reference attaches reference triples to the nearest element with
+      * an `about` URI (citationparser.py:98-165 LinkSubject rewrite). */
+    subjUri: String)
 
 /** Per-(stage, partition) lineage + metrics record — the north_rule's
   * resumability unit. Mirrors DocumentEntry status maps

@@ -50,6 +50,21 @@ object CitationParser {
     out.result().sortBy(_.start)
   }
 
+  /** URL grammar (citationpatterns.py:16-36): scheme://rest, with trailing
+    * punctuation excluded from the match. Formats to the URL itself (the
+    * stock `url` uriformat, uriformats.py:14-20). Runs FIRST so RFC-number
+    * grammars never fire inside a URL. */
+  val urlGrammar: Grammar = Grammar("URLRef",
+    """\b(?:https?|ftp)://[^\s<>"]*[^\s<>".,;:)\]]""".r,
+    Seq.empty, _ => "") // candidate URI = matched text; handled in scanUrl
+
+  /** Scan with URL grammar first (mask), then the given grammars. URL
+    * citations resolve to the URL text itself. */
+  def scanWithUrls(text: String, grammars: Seq[Grammar]): Vector[Citation] =
+    scan(text, urlGrammar +: grammars).map { c =>
+      if (c.grammar == "URLRef") c.copy(candidateUri = c.matchText) else c
+    }
+
   /** RFC citation grammars (rfc.py:430-452): "section X of RFC n",
     * "section X", "[RFC nnnn]" / "RFC nnnn". Section-only citations format
     * to a doc-relative "#S<sec>" fragment; the caller resolves them against

@@ -74,9 +74,12 @@ object RfcDoc {
     var rdfType: Option[String] = None
     var hasIdentifier = false
 
-    // first left-hand line = publishing organization
+    // first left-hand line = publishing organization. Exact dictionary probe
+    // only — fuzzy (ratio>=0.8) resolution of unmatched literals is the
+    // entity-LINKING stage's job (broadcast + MinHash/Jaccard blocking),
+    // keeping parse embarrassingly parallel and dictionary-small.
     left.headOption.filter(_.nonEmpty).foreach { pub =>
-      EntityDict.lookup(EntityDict.publishers, pub) match {
+      EntityDict.publishers.get(pub) match {
         case Some(puri) => out += Triple.uri(uri, Vocab.dcterms("publisher"), puri, graph)
         case None => out += Triple.lit(uri, Vocab.dcterms("publisher"), pub, graph)
       }
@@ -92,7 +95,7 @@ object RfcDoc {
             hasIdentifier = true
           }
         case "Category" =>
-          EntityDict.lookup(EntityDict.categories, value) match {
+          EntityDict.categories.get(value) match {
             case Some(curi) => out += Triple.uri(uri, Vocab.dcterms("subject"), curi, graph)
             case None => out += Triple.lit(uri, Vocab.dcterms("subject"), value, graph)
           }
@@ -177,26 +180,34 @@ object RfcDoc {
   }
 
   /** Collect citation mentions from every text span of the body
-    * (citparser.parse_recursive, rfc.py:512-513). */
+    * (citparser.parse_recursive, rfc.py:512-513). The mention's subject is
+    * the nearest enclosing sub-resource URI — the reference attaches
+    * LinkSubject reference triples to the closest element carrying `about`
+    * (citationparser.py:98-165), i.e. the section. URL grammar runs first
+    * (stock `url` pattern, citationpatterns.py:16-36). */
   def collectMentions(body: TreeNode, src: SourceFile, docId: String,
                       docUri: String): Vector[Mention] = {
     val grammars = CitationParser.rfcGrammars(EntityDict.canonicalRfcUri)
     val out = Vector.newBuilder[Mention]
-    def walk(n: TreeNode): Unit = {
+    def walk(n: TreeNode, subjUri: String): Unit = {
+      val here =
+        if (Set("Section", "Subsection", "Subsubsection")(n.tag))
+          n.attr("ordinal").map(o => s"$docUri#S$o").getOrElse(subjUri)
+        else subjUri
       n.text.foreach { t =>
         // RFCHeader/DocTitle are popped before the citation pass; here we
         // only see <str> spans of compound elements
-        CitationParser.scan(t, grammars).foreach { c =>
+        CitationParser.scanWithUrls(t, grammars).foreach { c =>
           val resolved =
             if (c.candidateUri.startsWith("#")) docUri + c.candidateUri
             else c.candidateUri
           out += Mention(docId, src.repo, src.lang, c.grammar, c.matchText,
-            c.start, c.end, resolved)
+            c.start, c.end, resolved, here)
         }
       }
-      n.children.foreach(walk)
+      n.children.foreach(walk(_, here))
     }
-    walk(body)
+    walk(body, docUri)
     out.result()
   }
 

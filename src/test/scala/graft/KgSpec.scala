@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.kg._
+import graft.model.Vocab
+
+/** End-to-end KG pipeline tests: P/R gate, connected components,
+  * resumability, salted-join equivalence. */
+class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-kg-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-kg-test")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("corpus generation is deterministic and order-independent") {
+    val a = Corpus.doc(42L, 17L, 100L)
+    val b = Corpus.doc(42L, 17L, 100L)
+    assert(a == b)
+    assert(a.src.content.nonEmpty && a.truth.nonEmpty)
+    // different index, different doc
+    assert(Corpus.doc(42L, 18L, 100L).src.content != a.src.content)
+  }
+
+  test("every generated document parses without error") {
+    spark // force init
+    val docs = Corpus.gen(7L, 60)
+    docs.foreach { gd =>
+      val p = graft.parse.RfcDoc.parse(gd.src)
+      assert(p.uri.nonEmpty, s"no uri for ${gd.src.path}")
+    }
+  }
+
+  test("connected components: chain, star, cycle, singleton-free") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),          // chain -> comp a
+      ("x", "hub"), ("y", "hub"), ("z", "hub"),    // star  -> comp hub
+      ("p", "q"), ("q", "r"), ("r", "p")           // cycle -> comp p
+    ).toDF("src", "dst")
+    val cc = Cc.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d").forall(cc(_) == "a"))
+    assert(Seq("x", "y", "z", "hub").forall(cc(_) == "hub"))
+    assert(Seq("p", "q", "r").forall(cc(_) == "p"))
+  }
+
+  test("canonMap prefers the minted /rfc/ URI over lexicographic min") {
+    import spark.implicits._
+    val edges = Seq(
+      ("https://example.org/legacy/rfc1000", "https://example.org/rfc/1000"),
+      ("https://example.org/old/ietf-doc-1000", "https://example.org/legacy/rfc1000"))
+      .toDF("src", "dst")
+    val canon = KgPipeline.canonMap(Cc.connectedComponents(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon("https://example.org/legacy/rfc1000") == "https://example.org/rfc/1000")
+    assert(canon("https://example.org/old/ietf-doc-1000") == "https://example.org/rfc/1000")
+    assert(!canon.contains("https://example.org/rfc/1000")) // identity rows dropped
+  }
+
+  test("pipeline end-to-end: P/R >= 0.95 vs ground truth (target: 1.0)") {
+    val conf = KgPipeline.Conf(workDir = tmpDir(), n = 80, seed = 42L)
+    val s = KgPipeline.runSynthetic(spark, conf)
+    assert(s.failedRows == 0, s"parse failures: ${s.failedRows}")
+    assert(s.parsedRows == 80)
+    assert(s.tripleCount > 0 && s.linkCount > 0)
+
+    val actual = spark.read.parquet(s"${conf.workDir}/triples")
+    val expected = KgPipeline.groundTruth(spark, conf.n, conf.seed).toDF()
+    val prf = Scoring.score(actual, expected)
+    info(f"P=${prf.precision}%.4f R=${prf.recall}%.4f " +
+      f"(tp=${prf.tp} fp=${prf.fp} fn=${prf.fn})")
+    if (prf.precision < 1.0 || prf.recall < 1.0) {
+      Scoring.diff(actual, expected).orderBy("side", "subj", "pred")
+        .show(40, 120)
+    }
+    assert(prf.precision >= 0.95, f"precision ${prf.precision}%.4f < 0.95")
+    assert(prf.recall >= 0.95, f"recall ${prf.recall}%.4f < 0.95")
+  }
+
+  test("sha256 invariant: docs table hash equals sha256 of input content") {
+    import spark.implicits._
+    val conf = KgPipeline.Conf(workDir = tmpDir(), n = 20, seed = 9L)
+    KgPipeline.runSynthetic(spark, conf)
+    val input = KgPipeline.synthesizeInput(spark, 20, 9L)
+      .withColumn("insha", sha2(col("content"), 256))
+      .withColumn("docId", concat_ws("", col("repo"), lit("/"), col("path"),
+        lit("@"), col("commit")))
+      .select("docId", "insha")
+    val docs = spark.read.parquet(s"${conf.workDir}/docs")
+      .select("docId", "sha256")
+    val mismatches = docs.join(input, "docId")
+      .filter(col("sha256") =!= col("insha")).count()
+    val joined = docs.join(input, "docId").count()
+    assert(joined == 20 && mismatches == 0)
+  }
+
+  test("resume: second run with same input parses zero new rows") {
+    val wd = tmpDir()
+    val c1 = KgPipeline.Conf(workDir = wd, n = 30, seed = 5L)
+    val s1 = KgPipeline.runSynthetic(spark, c1)
+    assert(s1.inputRows == 30)
+    val c2 = c1.copy(resume = true, runId = "run1")
+    val s2 = KgPipeline.runSynthetic(spark, c2)
+    assert(s2.inputRows == 0, s"resume should skip all rows, got ${s2.inputRows}")
+    // triple table unchanged in content
+    assert(s2.tripleCount == s1.tripleCount)
+  }
+
+  test("salted link join produces identical results to broadcast join") {
+    import spark.implicits._
+    val conf = KgPipeline.Conf(workDir = tmpDir(), n = 40, seed = 11L)
+    val input = KgPipeline.synthesizeInput(spark, 40, 11L)
+    val parsed = KgStages.parseStage(input).persist()
+    val mentions = KgStages.mentionsDf(parsed)
+    val dict = KgStages.entityDictionary(KgStages.docTriplesDf(parsed))
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("subj"), col("pred"), col("obj"),
+        col("graph"))).collect().map(_.getString(0)).toSet
+    val a = asSet(KgStages.linkTriplesDf(
+      KgStages.linkStage(mentions, dict, broadcastDict = true)))
+    val b = asSet(KgStages.linkTriplesDf(
+      KgStages.linkStage(mentions, dict, broadcastDict = false, salt = 4)))
+    assert(a == b)
+    assert(a.nonEmpty)
+    parsed.unpersist()
+  }
+
+  test("fuzzy upgrade links typo'd publisher literals at ratio >= 0.8") {
+    import spark.implicits._
+    val g = "g"
+    val triples = Seq(
+      graft.model.Triple.lit("d1", Vocab.dcterms("publisher"),
+        "Internet Enginering Task Force (IETF)", g),
+      graft.model.Triple.lit("d2", Vocab.dcterms("publisher"),
+        "Acme Packet Industries", g),
+      graft.model.Triple.lit("d1", Vocab.dcterms("title"), "T", g))
+      .toDS().toDF()
+      .withColumn("repo", lit("r")).withColumn("lang", lit("en"))
+    val up = KgStages.fuzzyUpgrade(triples, EntityDict.publishers,
+      Seq(Vocab.dcterms("publisher")))
+    val rows = up.collect()
+    val d1 = rows.find(r => r.getAs[String]("subj") == "d1" &&
+      r.getAs[String]("pred") == Vocab.dcterms("publisher")).get
+    assert(d1.getAs[String]("obj") == "https://example.org/org/ietf")
+    assert(!d1.getAs[Boolean]("objIsLiteral"))
+    val d2 = rows.find(r => r.getAs[String]("subj") == "d2").get
+    assert(d2.getAs[Boolean]("objIsLiteral")) // no close label -> stays literal
+    // unrelated predicate untouched
+    assert(rows.exists(r => r.getAs[String]("pred") == Vocab.dcterms("title") &&
+      r.getAs[Boolean]("objIsLiteral")))
+  }
+}
