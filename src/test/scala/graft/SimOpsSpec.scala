@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import graft.sim.SimOps
+
+/** Similarity-search operators: exact baselines and ANN recall. */
+class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sim-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def knnSet(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+
+  test("cosine pairs: symmetric-free (a<b), thresholded, deterministic") {
+    val p = SimOps.cosinePairs(spark, dir).collect()
+    assert(p.nonEmpty)
+    assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p.forall(_.getDouble(2) >= 0.4))
+  }
+
+  test("brute-force knn: k neighbors per probe, self excluded") {
+    val knn = knnSet(SimOps.knnBrute(spark, dir))
+    assert(knn.keySet == (0L until 10L).toSet)
+    knn.foreach { case (p, ns) =>
+      assert(ns.size == 5)
+      assert(!ns.contains(p))
+      assert(ns.distinct == ns)
+    }
+  }
+
+  test("LSH knn: recall@5 >= 0.5 vs brute force on candidates it returns") {
+    val brute = knnSet(SimOps.knnBrute(spark, dir))
+    val lsh = knnSet(SimOps.lshKnn(spark, dir))
+    val recalls = brute.map { case (p, bn) =>
+      val found = lsh.getOrElse(p, Seq.empty).toSet
+      bn.count(found.contains).toDouble / bn.size
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"LSH avg recall@5 = $avg%.3f")
+    assert(avg >= 0.5, f"LSH recall $avg%.3f too low")
+  }
+
+  test("IVF knn: recall@5 >= 0.4 vs brute force") {
+    val brute = knnSet(SimOps.knnBrute(spark, dir))
+    val ivf = knnSet(SimOps.ivfKnn(spark, dir))
+    val recalls = brute.map { case (p, bn) =>
+      val found = ivf.getOrElse(p, Seq.empty).toSet
+      bn.count(found.contains).toDouble / bn.size
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"IVF avg recall@5 = $avg%.3f")
+    assert(avg >= 0.4, f"IVF recall $avg%.3f too low")
+  }
+
+  test("near-dup groups: members consistent with pair threshold") {
+    val g = SimOps.embeddingNeardupGroups(spark, dir).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      val members = r.getSeq[Long](2)
+      assert(r.getLong(1) == members.size)
+      assert(members.contains(r.getLong(0))) // representative is a member
+    }
+    // groups are disjoint
+    val all = g.flatMap(_.getSeq[Long](2))
+    assert(all.distinct.length == all.length)
+  }
+}
