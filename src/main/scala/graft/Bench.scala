@@ -1,24 +1,109 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: headline query timings at SPARK_GRAFT_SF_DIR plus the
+  * KG pipeline's extracted+linked triples/sec at TWO parallelism levels —
+  * the sandbox evidence for the north_rule's >=0.8 scaling-efficiency
+  * criterion (see BASELINE.md).
+  *
+  * Methodology notes (measured on this runner, see BENCH_SCALING.md):
+  *  - the VM advertises 32 CPUs but a CPU-burn probe shows ~3x capacity
+  *    from 8→32 processes (hypervisor cap), while 4→16 scales at 3.94x —
+  *    so the N-vs-4N pair is local[4] vs local[16], both inside the
+  *    effective capacity;
+  *  - each measured run happens in a warmed JVM (one smaller pipeline run
+  *    first): the parse path is regex/FSM-heavy Scala whose cold
+  *    (interpreter/C1) throughput is ~5x below its C2 steady state, and a
+  *    cold-vs-warm comparison would measure the JIT, not the plan.
+  *
+  * Prints exactly one JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *    "kg_n":..., "kg_triples":..., "kg_sec_n4":..., "kg_sec_n16":...,
+  *    "kg_triples_per_sec_n4":..., "kg_triples_per_sec_n16":...,
+  *    "scaling_efficiency":..., "sf":"..."}
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-bench-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** One full pipeline run; returns (wallSec, tripleCount). */
+  private def kgRun(spark: SparkSession, n: Long, tag: String): (Double, Long) = {
+    val conf = graft.kg.KgPipeline.Conf(workDir = tmpDir(tag), n = n,
+      seed = 42L, runId = s"bench-$tag")
+    val s = graft.kg.KgPipeline.runSynthetic(spark, conf)
+    (s.durationSec, s.tripleCount)
+  }
+
+  /** Warmed measurement at one parallelism level: run a 1/8-size pipeline
+    * to reach JIT steady state, then the measured run. */
+  private def measuredKgRun(cpus: Int, n: Long): (Double, Long) = {
+    val s = session(cpus)
+    try {
+      kgRun(s, math.max(1000L, n / 8), s"warm$cpus")
+      kgRun(s, n, s"meas$cpus")
+    } finally {
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "60000").toLong
+    val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    val nBig = nSmall * 4
+
+    // ---- phase 1: query suite at the full advertised width
+    val s1 = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    s1.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // ---- phase 2: KG pipeline at N and 4N cores, same input, warmed JVM
+    val (kgSecSmall, kgTriples) = measuredKgRun(nSmall, kgN)
+    val (kgSecBig, kgTriples2) = measuredKgRun(nBig, kgN)
+    require(kgTriples == kgTriples2,
+      s"nondeterministic pipeline: $kgTriples vs $kgTriples2")
+
+    val tpsBig = kgTriples / kgSecBig
+    val tpsSmall = kgTriples / kgSecSmall
+    val eff = (tpsBig / tpsSmall) / (nBig.toDouble / nSmall)
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum + kgSecBig + kgSecSmall
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
+      f""""kg_n":$kgN,"kg_triples":$kgTriples,""" +
+      f""""kg_sec_n$nSmall":$kgSecSmall%.2f,"kg_sec_n$nBig":$kgSecBig%.2f,""" +
+      f""""kg_triples_per_sec_n$nSmall":$tpsSmall%.0f,""" +
+      f""""kg_triples_per_sec_n$nBig":$tpsBig%.0f,""" +
+      f""""scaling_efficiency":$eff%.3f,"sf":"$sfDir"}""")
   }
 }

@@ -11,7 +11,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.rel.Relational.queries ++ graft.kg.KgQueries.queries ++
-      graft.text.TextOps.queries ++ graft.sim.SimOps.queries
+      graft.text.TextOps.queries ++ graft.sim.SimOps.queries ++
+      graft.mm.MultiModal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the kg_*

@@ -108,16 +108,19 @@ object KgQueries {
     // isPartOf closure: section -> owning document (paths are depth <= 3)
     val part = tr.filter(col("pred") === Vocab.dcterms("isPartOf"))
       .select(col("subj").as("child"), col("obj").as("parent"))
+      .localCheckpoint() // fixpoint loop below re-reads this many times
     var closure = part
     var next = closure.as("a")
       .join(part.as("b"), col("a.parent") === col("b.child"))
       .select(col("a.child").as("child"), col("b.parent").as("parent"))
+      .localCheckpoint()
     var rounds = 0
     while (rounds < 4 && next.limit(1).count() > 0) {
-      closure = closure.unionByName(next).distinct()
+      closure = closure.unionByName(next).distinct().localCheckpoint()
       next = next.as("a")
         .join(part.as("b"), col("a.parent") === col("b.child"))
         .select(col("a.child").as("child"), col("b.parent").as("parent"))
+        .localCheckpoint()
       rounds += 1
     }
     val roots = closure.join(

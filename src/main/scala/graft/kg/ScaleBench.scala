@@ -1,0 +1,40 @@
+package graft.kg
+import org.apache.spark.sql.SparkSession
+/** Standalone N-vs-4N KG scaling measurement with warm JVM + per-stage
+  * timings (used to produce BENCH_SCALING.md evidence). */
+object ScaleBench {
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .appName(s"graft-scale-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(60000L)
+    val levels = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(4, 16)
+    for (cpus <- levels) {
+      val s = session(cpus)
+      // tmpfs work dir: the measurement targets the compute path, and
+      // /tmp-disk writeback stalls were the dominant run-to-run noise
+      val base = new java.io.File("/dev/shm/graft-scale")
+      base.mkdirs()
+      val wd = java.nio.file.Files.createTempDirectory(base.toPath, s"c$cpus").toString
+      KgPipeline.runSynthetic(s, KgPipeline.Conf(workDir = wd + "w",
+        n = math.max(1000, n / 8), seed = 42L, runId = "warm"))
+      val r = KgPipeline.runSynthetic(s, KgPipeline.Conf(workDir = wd,
+        n = n, seed = 42L, runId = "meas"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd + "w"))
+      println(f"cpus=$cpus n=$n triples=${r.tripleCount} sec=${r.durationSec}%.2f tps=${r.triplesPerSec}%.0f")
+      println("  stages: " + r.stageSec.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+}

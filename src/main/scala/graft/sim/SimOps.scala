@@ -24,16 +24,17 @@ object SimOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** sum(a[i]*b[i]) in double (cast first — float math would diverge from
-    * the DuckDB oracle). */
+  /** sum(a[i]*b[i]) over already-double arrays (double math matches the
+    * DuckDB oracle; the float→double cast happens ONCE per row in
+    * [[withNorm]], never per pair). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding").as("v"))
+    df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
   /** All pairs with cosine similarity >= threshold (brute force via
