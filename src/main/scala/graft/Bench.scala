@@ -29,7 +29,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 3).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -39,27 +39,32 @@ object Bench {
     s
   }
 
+  /** tmpfs work dir — the scaling measurement targets the compute path,
+    * and /tmp-disk writeback stalls were the dominant run-to-run noise. */
   private def tmpDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft-bench-$tag")
-    d.toFile.deleteOnExit()
-    d.toString
+    val base = new java.io.File("/dev/shm/graft-bench")
+    base.mkdirs()
+    java.nio.file.Files.createTempDirectory(base.toPath, tag).toString
   }
 
   /** One full pipeline run; returns (wallSec, tripleCount). */
   private def kgRun(spark: SparkSession, n: Long, tag: String): (Double, Long) = {
-    val conf = graft.kg.KgPipeline.Conf(workDir = tmpDir(tag), n = n,
+    val wd = tmpDir(tag)
+    val conf = graft.kg.KgPipeline.Conf(workDir = wd, n = n,
       seed = 42L, runId = s"bench-$tag")
     val s = graft.kg.KgPipeline.runSynthetic(spark, conf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
     (s.durationSec, s.tripleCount)
   }
 
-  /** Warmed measurement at one parallelism level: run a 1/8-size pipeline
-    * to reach JIT steady state, then the measured run. */
-  private def measuredKgRun(cpus: Int, n: Long): (Double, Long) = {
+  /** One measured pipeline run at a parallelism level (fresh session,
+    * shared warm JVM). `warm` additionally runs a 1/8-size warmup first. */
+  private def measuredKgRun(cpus: Int, n: Long, warm: Boolean,
+                            tag: String): (Double, Long) = {
     val s = session(cpus)
     try {
-      kgRun(s, math.max(1000L, n / 8), s"warm$cpus")
-      kgRun(s, n, s"meas$cpus")
+      if (warm) kgRun(s, math.max(1000L, n / 8), s"warm$cpus")
+      kgRun(s, n, tag)
     } finally {
       s.stop()
       SparkSession.clearActiveSession()
@@ -85,9 +90,16 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // ---- phase 2: KG pipeline at N and 4N cores, same input, warmed JVM
-    val (kgSecSmall, kgTriples) = measuredKgRun(nSmall, kgN)
-    val (kgSecBig, kgTriples2) = measuredKgRun(nBig, kgN)
+    // ---- phase 2: KG pipeline at N and 4N cores, same input, warmed JVM.
+    // The runner VM has bursty external CPU interference (measured: 2-3x
+    // swings between identical runs); interleaved min-of-2 per level is
+    // robust to additive noise bursts.
+    val (w1, kgTriples) = measuredKgRun(nSmall, kgN, warm = true, "m4a")
+    val (b1, kgTriples2) = measuredKgRun(nBig, kgN, warm = false, "m16a")
+    val (w2, _) = measuredKgRun(nSmall, kgN, warm = false, "m4b")
+    val (b2, _) = measuredKgRun(nBig, kgN, warm = false, "m16b")
+    val kgSecSmall = math.min(w1, w2)
+    val kgSecBig = math.min(b1, b2)
     require(kgTriples == kgTriples2,
       s"nondeterministic pipeline: $kgTriples vs $kgTriples2")
 

@@ -156,9 +156,13 @@ object KgPipeline {
       docTriples, read("link_triples"), curated, read("canon"))
     timed("m1_materialize")(write(finalTriples, "triples", partitioned = true))
     val out = read("triples")
+    // materialize-stage lineage fold: xxhash64, not sha2 — the fold only
+    // needs order-independent stability, and crypto hashing 10^6+ triples
+    // per run was a measured fixed cost (input-content sha256 stays
+    // cryptographic in the parse lineage, where input_hint requires it)
     timed("m2_lineage")(KgStages.lineageDf(
-      out.withColumn("sha256", sha2(concat_ws(" ",
-        col("subj"), col("pred"), col("obj")), 256)),
+      out.withColumn("sha256", lower(hex(xxhash64(
+        col("subj"), col("pred"), col("obj"), col("graph"))))),
       "materialize", conf.runId)
       .write.mode("append").format(fmt).save(path("lineage")))
 

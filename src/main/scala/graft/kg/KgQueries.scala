@@ -197,6 +197,70 @@ object KgQueries {
       .drop("committedAt")
       .orderBy("repo", "lang")
 
+  /** required_predicates validation (documentrepository.py:311-317,
+    * decorators.py:231-236): every doc must carry rdf:type, dcterms:title
+    * and dcterms:identifier — emit one row per doc with presence flags and
+    * a violation marker (expected: zero violations on the corpus). */
+  def requiredPredicates(spark: SparkSession, dir: String): DataFrame = {
+    val tr = t(ctx(spark))
+    val docsUris = ctx(spark).docs.select(col("uri")).distinct()
+    val checks = Seq(
+      Vocab.RDF_TYPE -> "has_type",
+      Vocab.dcterms("title") -> "has_title",
+      Vocab.dcterms("identifier") -> "has_identifier")
+    val flagged = checks.foldLeft(docsUris) { case (acc, (pred, name)) =>
+      acc.join(
+        tr.filter(col("pred") === pred).select(col("subj").as("uri"))
+          .distinct().withColumn(name, lit(true)),
+        Seq("uri"), "left")
+    }
+    flagged.na.fill(false)
+      .withColumn("violation",
+        !(col("has_type") && col("has_title") && col("has_identifier")))
+      .groupBy("violation")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("violation")
+  }
+
+  /** Keyword hub entities (sources/general/keyword.py:43-80): one entity
+    * per distinct dcterms:subject value across the dataset. */
+  def keywordEntities(spark: SparkSession, dir: String): DataFrame =
+    t(ctx(spark))
+      .filter(col("pred") === Vocab.dcterms("subject") && !col("objIsLiteral"))
+      .select(col("obj").as("uri")).distinct()
+      .withColumn("label",
+        graft.functions.Selectors.uriLeaf(col("uri")))
+      .orderBy("uri")
+
+  /** dump.nt export head (documentrepository.py:1813-1883): the triple
+    * table rendered as N-Triples text lines; deterministic first 100. */
+  def ntExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = t(ctx(spark))
+      .na.fill("", Seq("objDatatype", "objLang"))
+      .select("subj", "pred", "obj", "objIsLiteral", "objDatatype", "objLang")
+      .as[(String, String, String, Boolean, String, String)]
+      .map { case (s, p, o, isLit, dt, lang) =>
+        graft.model.Triple.toNt(graft.model.Triple(s, p, o, isLit,
+          Option(dt).filter(_.nonEmpty), Option(lang).filter(_.nonEmpty), ""))
+      }
+    rows.toDF("nt").orderBy("nt").limit(100)
+  }
+
+  /** Natural-ordinal section listing (util.numcmp semantics, SURVEY §2.5):
+    * sections of one document ordered "1, 2, 2.1, 2.2, 10" not
+    * lexicographically. */
+  def sectionNaturalOrder(spark: SparkSession, dir: String): DataFrame = {
+    val tr = t(ctx(spark))
+    tr.filter(col("pred") === Vocab.dcterms("identifier") &&
+        col("subj").contains("#S"))
+      .select(col("subj"), col("obj").as("identifier"))
+      .withColumn("sortkey",
+        graft.functions.Selectors.naturalSortKey(col("identifier")))
+      .orderBy("sortkey", "subj")
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_pipeline_triples" -> pipelineTriples,
     "kg_facet_pivot" -> facetPivot,
@@ -208,5 +272,9 @@ object KgQueries {
     "kg_toc_pages" -> tocPages,
     "kg_news_feeds" -> newsFeeds,
     "kg_lineage" -> lineage,
+    "kg_required_predicates" -> requiredPredicates,
+    "kg_keyword_entities" -> keywordEntities,
+    "kg_nt_export" -> ntExport,
+    "kg_section_natural_order" -> sectionNaturalOrder,
   )
 }

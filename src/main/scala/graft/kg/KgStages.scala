@@ -220,14 +220,24 @@ object KgStages {
 
   // ------------------------------------------------------------- stage M
   /** Union doc + link + curated triples, rewrite through the canon map,
-    * dedup, repartition by (repo, lang). */
+    * dedup, repartition for the (repo, lang)-partitioned write.
+    *
+    * Skew note: repartitioning on (repo, lang) alone funnels a mega-repo
+    * (north_rule's pathological case — 35% of the corpus here) into ONE
+    * task, serializing the write of its partition directory. A salt column
+    * derived from the subject spreads each (repo, lang) directory across
+    * `writeSalt` tasks; `partitionBy` still lays files out by (repo, lang)
+    * — just several files per directory, which is exactly what a parallel
+    * writer should produce. */
   def materialize(docTriples: DataFrame, linkTriples: DataFrame,
-                  curated: DataFrame, canon: DataFrame): DataFrame = {
+                  curated: DataFrame, canon: DataFrame,
+                  writeSalt: Int = 8): DataFrame = {
     val all = docTriples
       .unionByName(linkTriples)
       .unionByName(curated, allowMissingColumns = true)
     Cc.rewrite(all, canon)
-      .repartition(col("repo"), col("lang"))
+      .repartition(col("repo"), col("lang"),
+        pmod(xxhash64(col("subj")), lit(writeSalt)))
   }
 
   // ------------------------------------------------------------ lineage

@@ -6,7 +6,7 @@ object ScaleBench {
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder().master(s"local[$cpus]")
       .appName(s"graft-scale-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 3).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

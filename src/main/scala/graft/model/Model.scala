@@ -33,6 +33,33 @@ object Triple {
   def lit(s: String, p: String, o: String, g: String,
           datatype: Option[String] = None, lang: Option[String] = None): Triple =
     Triple(s, p, o, objIsLiteral = true, datatype, lang, g)
+
+  /** N-Triples escaping for literal lexical forms (W3C N-Triples §2.4). */
+  def ntEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c    => c.toString
+    }
+
+  /** One N-Triples line — the dump.nt export format of the reference's
+    * relate teardown (documentrepository.py:1813-1883). */
+  def toNt(t: Triple): String = {
+    val obj =
+      if (!t.objIsLiteral) s"<${t.obj}>"
+      else {
+        val base = "\"" + ntEscape(t.obj) + "\""
+        (t.objDatatype, t.objLang) match {
+          case (Some(dt), _) => s"$base^^<$dt>"
+          case (_, Some(l))  => s"$base@$l"
+          case _             => base
+        }
+      }
+    s"<${t.subj}> <${t.pred}> $obj ."
+  }
 }
 
 /** Well-known vocabulary IRIs (expanded, never prefixed — FIXTURES.md §3). */
