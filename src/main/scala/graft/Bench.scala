@@ -29,6 +29,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", (cpus * 3).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

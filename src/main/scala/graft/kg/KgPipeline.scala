@@ -44,8 +44,11 @@ object KgPipeline {
   def synthesizeInput(spark: SparkSession, n: Long, seed: Long,
                       partitions: Int = 0): Dataset[SourceFile] = {
     import spark.implicits._
+    // 8x overdecomposition: parse tasks are seconds-long, and coarse
+    // partitions make the stage straggler-bound (one slow task = one core
+    // idle fleet). Small tasks also give AQE real statistics to work with.
     val parts = if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism
+      else spark.sparkContext.defaultParallelism * 8
     spark.range(0, n, 1, parts).map(i => Corpus.doc(seed, i, n).src)
   }
 
@@ -201,6 +204,7 @@ object KgPipeline {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-kg-pipeline")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")

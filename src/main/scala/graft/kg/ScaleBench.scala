@@ -6,6 +6,7 @@ object ScaleBench {
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder().master(s"local[$cpus]")
       .appName(s"graft-scale-$cpus")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", (cpus * 3).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -26,11 +27,12 @@ object ScaleBench {
       val wd = java.nio.file.Files.createTempDirectory(base.toPath, s"c$cpus").toString
       KgPipeline.runSynthetic(s, KgPipeline.Conf(workDir = wd + "w",
         n = math.max(1000, n / 8), seed = 42L, runId = "warm"))
+      val meter = ConcurrencyMeter.attach(s.sparkContext)
       val r = KgPipeline.runSynthetic(s, KgPipeline.Conf(workDir = wd,
         n = n, seed = 42L, runId = "meas"))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd + "w"))
-      println(f"cpus=$cpus n=$n triples=${r.tripleCount} sec=${r.durationSec}%.2f tps=${r.triplesPerSec}%.0f")
+      println(f"cpus=$cpus n=$n triples=${r.tripleCount} sec=${r.durationSec}%.2f tps=${r.triplesPerSec}%.0f busy=${meter.taskSec / r.durationSec}%.1f cpu=${meter.cpuSec / r.durationSec}%.1f")
       println("  stages: " + r.stageSec.toSeq.sortBy(_._1)
         .map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
       s.stop()

@@ -161,9 +161,21 @@ object TextOps {
   final val MinhashPerms = 64
   final val Bands = 16 // 4 rows/band: P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8
 
-  /** MinHash signatures per doc: one typed map over the collected shingle
-    * set (narrow; no shuffle beyond the shingle groupBy). */
+  /** MinHash signatures per doc. Preferred path: the native
+    * `minhash_sig` TypedImperativeAggregate (graft.functions.MinHashSig,
+    * registered by GraftExtensions) — partial aggregation ships 64 longs
+    * per group instead of the whole shingle set. Fallback for vanilla
+    * sessions: collect_list + typed map (identical output — asserted in
+    * ExtensionsSpec). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    if (spark.catalog.functionExists("minhash_sig"))
+      sh.groupBy("doc_id").agg(expr("minhash_sig(shingle)").as("sig"))
+    else minhashSignaturesMapped(sh)
+  }
+
+  /** collect_list + typed-map fallback (see [[minhashSignatures]]). */
+  def minhashSignaturesMapped(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     sh.groupBy("doc_id").agg(collect_list("shingle").as("sh"))
