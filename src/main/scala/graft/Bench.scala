@@ -48,20 +48,25 @@ object Bench {
     java.nio.file.Files.createTempDirectory(base.toPath, tag).toString
   }
 
-  /** One full pipeline run; returns (wallSec, tripleCount). */
-  private def kgRun(spark: SparkSession, n: Long, tag: String): (Double, Long) = {
+  final case class KgRunResult(wallSec: Double, triples: Long,
+      busy: Double, cpu: Double)
+
+  /** One full pipeline run with achieved-concurrency metrics. */
+  private def kgRun(spark: SparkSession, n: Long, tag: String): KgRunResult = {
+    val meter = graft.kg.ConcurrencyMeter.attach(spark.sparkContext)
     val wd = tmpDir(tag)
     val conf = graft.kg.KgPipeline.Conf(workDir = wd, n = n,
       seed = 42L, runId = s"bench-$tag")
     val s = graft.kg.KgPipeline.runSynthetic(spark, conf)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
-    (s.durationSec, s.tripleCount)
+    KgRunResult(s.durationSec, s.tripleCount,
+      meter.taskSec / s.durationSec, meter.cpuSec / s.durationSec)
   }
 
   /** One measured pipeline run at a parallelism level (fresh session,
     * shared warm JVM). `warm` additionally runs a 1/8-size warmup first. */
   private def measuredKgRun(cpus: Int, n: Long, warm: Boolean,
-                            tag: String): (Double, Long) = {
+                            tag: String): KgRunResult = {
     val s = session(cpus)
     try {
       if (warm) kgRun(s, math.max(1000L, n / 8), s"warm$cpus")
@@ -77,7 +82,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "60000").toLong
-    val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    // N-vs-4N pair defaults to local[1]/local[4]: delivered-CPU metering
+    // (see BENCH_SCALING.md) shows this runner reliably provides only
+    // ~4.4 real cores regardless of thread count, so the 4N level must fit
+    // inside that — demanding 8+ threads measures hypervisor starvation,
+    // not the plan. busy_*/cpu_* fields in the output carry the evidence.
+    val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val nBig = nSmall * 4
 
     // ---- phase 1: query suite at the full advertised width
@@ -95,28 +105,32 @@ object Bench {
     // The runner VM has bursty external CPU interference (measured: 2-3x
     // swings between identical runs); interleaved min-of-2 per level is
     // robust to additive noise bursts.
-    val (w1, kgTriples) = measuredKgRun(nSmall, kgN, warm = true, "m4a")
-    val (b1, kgTriples2) = measuredKgRun(nBig, kgN, warm = false, "m16a")
-    val (w2, _) = measuredKgRun(nSmall, kgN, warm = false, "m4b")
-    val (b2, _) = measuredKgRun(nBig, kgN, warm = false, "m16b")
-    val kgSecSmall = math.min(w1, w2)
-    val kgSecBig = math.min(b1, b2)
-    require(kgTriples == kgTriples2,
-      s"nondeterministic pipeline: $kgTriples vs $kgTriples2")
+    val r1 = measuredKgRun(nSmall, kgN, warm = true, "mSa")
+    val r2 = measuredKgRun(nBig, kgN, warm = false, "mBa")
+    val r3 = measuredKgRun(nSmall, kgN, warm = false, "mSb")
+    val r4 = measuredKgRun(nBig, kgN, warm = false, "mBb")
+    require(r1.triples == r2.triples,
+      s"nondeterministic pipeline: ${r1.triples} vs ${r2.triples}")
+    val small = if (r1.wallSec <= r3.wallSec) r1 else r3
+    val big = if (r2.wallSec <= r4.wallSec) r2 else r4
+    val kgTriples = r1.triples
 
-    val tpsBig = kgTriples / kgSecBig
-    val tpsSmall = kgTriples / kgSecSmall
+    val tpsBig = kgTriples / big.wallSec
+    val tpsSmall = kgTriples / small.wallSec
     val eff = (tpsBig / tpsSmall) / (nBig.toDouble / nSmall)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgSecBig + kgSecSmall
+    val total = results.map(_._2).sum + big.wallSec + small.wallSec
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
       f""""kg_n":$kgN,"kg_triples":$kgTriples,""" +
-      f""""kg_sec_n$nSmall":$kgSecSmall%.2f,"kg_sec_n$nBig":$kgSecBig%.2f,""" +
+      f""""kg_sec_n$nSmall":${small.wallSec}%.2f,"kg_sec_n$nBig":${big.wallSec}%.2f,""" +
       f""""kg_triples_per_sec_n$nSmall":$tpsSmall%.0f,""" +
       f""""kg_triples_per_sec_n$nBig":$tpsBig%.0f,""" +
-      f""""scaling_efficiency":$eff%.3f,"sf":"$sfDir"}""")
+      f""""scaling_efficiency":$eff%.3f,""" +
+      f""""busy_n$nSmall":${small.busy}%.2f,"busy_n$nBig":${big.busy}%.2f,""" +
+      f""""cpu_n$nSmall":${small.cpu}%.2f,"cpu_n$nBig":${big.cpu}%.2f,""" +
+      f""""sf":"$sfDir"}""")
   }
 }

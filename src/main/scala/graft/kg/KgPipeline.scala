@@ -90,9 +90,19 @@ object KgPipeline {
     def timed[T](name: String)(f: => T): T = {
       val s = System.nanoTime()
       val r = f
-      stageSec(name) = stageSec.getOrElse(name, 0.0) + (System.nanoTime() - s) / 1e9
+      stageSec.synchronized {
+        stageSec(name) = stageSec.getOrElse(name, 0.0) + (System.nanoTime() - s) / 1e9
+      }
       r
     }
+    // Independent same-stage writes are submitted as CONCURRENT Spark jobs
+    // (local scheduler interleaves their tasks): a small write's tail tasks
+    // no longer leave the rest of the cores idle.
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def inParallel(fs: (() => Unit)*): Unit =
+      Await.result(Future.sequence(fs.map(f => Future(blocking(f())))), Duration.Inf)
 
     def path(t: String) = s"$wd/$t"
     def write(df: DataFrame, t: String, partitioned: Boolean = false): Unit = {
@@ -121,10 +131,13 @@ object KgPipeline {
       val w = df.write.mode(mode).format(fmt)
       (if (partitioned) w.partitionBy("repo", "lang") else w).save(path(t))
     }
+    // first write materializes the persisted ParseOut; the remaining three
+    // run concurrently against the cache
     timed("p1_parse_docs")(writeMode(KgStages.docsDf(parsedPersisted), "docs"))
-    timed("p2_doc_triples")(writeMode(KgStages.docTriplesDf(parsedPersisted), "doc_triples"))
-    timed("p3_mentions")(writeMode(KgStages.mentionsDf(parsedPersisted), "mentions"))
-    timed("p4_failures")(writeMode(KgStages.failuresDf(parsedPersisted), "failures"))
+    inParallel(
+      () => timed("p2_doc_triples")(writeMode(KgStages.docTriplesDf(parsedPersisted), "doc_triples")),
+      () => timed("p3_mentions")(writeMode(KgStages.mentionsDf(parsedPersisted), "mentions")),
+      () => timed("p4_failures")(writeMode(KgStages.failuresDf(parsedPersisted), "failures")))
     // lineage AFTER data (write-audit-publish)
     timed("p5_lineage")(KgStages.lineageDf(read("docs"), "parse", conf.runId)
       .write.mode("append").format(fmt).save(path("lineage")))
@@ -140,9 +153,10 @@ object KgPipeline {
     val dict = KgStages.entityDictionary(docTriples0)
     val linked = KgStages.linkStage(mentions, dict,
       broadcastDict = conf.broadcastDict, salt = conf.salt).persist()
-    timed("l1_link_triples")(write(KgStages.linkTriplesDf(linked), "link_triples"))
-    timed("l2_deps")(write(KgStages.depsDf(linked), "deps"))
-    timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton"))
+    inParallel(
+      () => timed("l1_link_triples")(write(KgStages.linkTriplesDf(linked), "link_triples")),
+      () => timed("l2_deps")(write(KgStages.depsDf(linked), "deps")),
+      () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")))
     linked.unpersist()
     // fuzzy label upgrade of publisher literals (ratio >= 0.8)
     val docTriples = KgStages.fuzzyUpgrade(docTriples0,

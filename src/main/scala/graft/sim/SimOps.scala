@@ -37,22 +37,30 @@ object SimOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Session-scoped cache of the brute pair scan: `sim_neardup_groups`
+    * builds on `sim_cosine_pairs`, and the O(n²) scan is the expensive
+    * part — compute it once per (session, dir, threshold). */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
   /** All pairs with cosine similarity >= threshold (brute force via
     * self-join; exact). The 100 TB path replaces the crossing join with the
     * LSH/IVF candidate generation below — same verify expression. */
   def cosinePairs(spark: SparkSession, dir: String,
-                  threshold: Double = 0.4): DataFrame = {
-    val e = withNorm(emb(spark, dir))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-      .orderBy("vec_a", "vec_b")
-  }
+                  threshold: Double = 0.4): DataFrame =
+    pairsCache.computeIfAbsent((spark, dir, threshold), { _ =>
+      val e = withNorm(emb(spark, dir))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+        .persist()
+    })
 
   /** Exact top-k cosine neighbors for a probe set (vec_id < nProbes),
     * brute force: broadcast the probes, scan the corpus once. Rank on the
@@ -196,7 +204,11 @@ object SimOps {
     * operator — dedup at training-data scale is a graph problem. */
   def embeddingNeardupGroups(spark: SparkSession, dir: String,
                              threshold: Double = 0.45): DataFrame = {
-    val pairs = cosinePairs(spark, dir, threshold)
+    // reuse the cached 0.4-threshold scan and re-filter — the O(n²) scan
+    // dominates, the threshold only trims its output
+    val base = math.min(threshold, 0.4)
+    val pairs = cosinePairs(spark, dir, base)
+      .filter(col("cos") >= threshold)
       .select(col("vec_a").cast("string").as("src"),
         col("vec_b").cast("string").as("dst"))
     graft.kg.Cc.connectedComponents(pairs)
