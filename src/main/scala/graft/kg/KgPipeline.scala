@@ -131,42 +131,45 @@ object KgPipeline {
       val w = df.write.mode(mode).format(fmt)
       (if (partitioned) w.partitionBy("repo", "lang") else w).save(path(t))
     }
-    // first write materializes the persisted ParseOut; the remaining three
-    // run concurrently against the cache
+    // first write materializes the persisted ParseOut; everything else in
+    // stage P (remaining tables + lineage-after-docs, write-audit-publish
+    // order preserved: lineage only reads the already-committed docs table)
+    // runs as concurrent jobs against the cache
     timed("p1_parse_docs")(writeMode(KgStages.docsDf(parsedPersisted), "docs"))
     inParallel(
       () => timed("p2_doc_triples")(writeMode(KgStages.docTriplesDf(parsedPersisted), "doc_triples")),
       () => timed("p3_mentions")(writeMode(KgStages.mentionsDf(parsedPersisted), "mentions")),
-      () => timed("p4_failures")(writeMode(KgStages.failuresDf(parsedPersisted), "failures")))
-    // lineage AFTER data (write-audit-publish)
-    timed("p5_lineage")(KgStages.lineageDf(read("docs"), "parse", conf.runId)
-      .write.mode("append").format(fmt).save(path("lineage")))
+      () => timed("p4_failures")(writeMode(KgStages.failuresDf(parsedPersisted), "failures")),
+      () => timed("p5_lineage")(KgStages.lineageDf(read("docs"), "parse", conf.runId)
+        .write.mode("append").format(fmt).save(path("lineage"))))
     parsedPersisted.unpersist()
 
     val docs = read("docs")
     val docTriples0 = read("doc_triples")
     val mentions = read("mentions")
-    val parsedRows = timed("p6_counts")(docs.count())
-    val failedRows = timed("p6_counts")(read("failures").count())
 
-    // ---- stage L
+    // ---- stage L + stage C + counts, all mutually independent → overlap.
+    // C needs only the sameAs edges; L needs mentions + the dictionary;
+    // the counts read stage-P outputs. M below is the barrier.
     val dict = KgStages.entityDictionary(docTriples0)
     val linked = KgStages.linkStage(mentions, dict,
       broadcastDict = conf.broadcastDict, salt = conf.salt).persist()
+    var parsedRows = 0L
+    var failedRows = 0L
     inParallel(
       () => timed("l1_link_triples")(write(KgStages.linkTriplesDf(linked), "link_triples")),
       () => timed("l2_deps")(write(KgStages.depsDf(linked), "deps")),
-      () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")))
+      () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")),
+      () => timed("c1_cc") {
+        val cc = Cc.connectedComponents(sameAs)
+        write(canonMap(cc), "canon")
+      },
+      () => { parsedRows = timed("p6_counts")(docs.count()) },
+      () => { failedRows = timed("p6_counts")(read("failures").count()) })
     linked.unpersist()
     // fuzzy label upgrade of publisher literals (ratio >= 0.8)
     val docTriples = KgStages.fuzzyUpgrade(docTriples0,
       EntityDict.publishers, Seq(Vocab.dcterms("publisher")))
-
-    // ---- stage C
-    timed("c1_cc") {
-      val cc = Cc.connectedComponents(sameAs)
-      write(canonMap(cc), "canon")
-    }
 
     // ---- stage M
     val finalTriples = KgStages.materialize(
@@ -183,9 +186,13 @@ object KgPipeline {
       "materialize", conf.runId)
       .write.mode("append").format(fmt).save(path("lineage")))
 
-    val tripleCount = timed("m3_counts")(out.count())
-    val mentionCount = timed("m3_counts")(mentions.count())
-    val linkCount = timed("m3_counts")(read("link_triples").count())
+    var tripleCount = 0L
+    var mentionCount = 0L
+    var linkCount = 0L
+    inParallel(
+      () => { tripleCount = timed("m3_counts")(out.count()) },
+      () => { mentionCount = timed("m3_counts")(mentions.count()) },
+      () => { linkCount = timed("m3_counts")(read("link_triples").count()) })
     val inputRows =
       if (conf.resume) pendingRows else parsedRows + failedRows
     Summary(inputRows, parsedRows, failedRows, tripleCount, mentionCount,

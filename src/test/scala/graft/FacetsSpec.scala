@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** Declarative facet API over the KG triple table. */
+class FacetsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-facets-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = { spark.stop(); super.afterAll() }
+
+  test("facetedData: one row per typed doc, facet columns populated") {
+    val tr = KgQueries.ctx(spark).triples
+    val fd = Facets.facetedData(tr, Facets.defaultFacets)
+    assert(fd.count() == KgQueries.N)
+    assert(fd.filter(col("title").isNull).count() == 0)
+    assert(fd.filter(col("issued").isNull).count() == 0)
+    // issued selector gives a 4-digit year
+    val years = fd.select(substring(col("issued"), 1, 4)).distinct()
+      .collect().map(_.getString(0))
+    assert(years.forall(_.matches("\\d{4}")))
+  }
+
+  test("tocPageSets: pages partition the docs per facet, deterministic") {
+    val tr = KgQueries.ctx(spark).triples
+    val fd = Facets.facetedData(tr, Facets.defaultFacets)
+    val toc = Facets.tocPageSets(fd, Facets.defaultFacets).collect()
+    assert(toc.nonEmpty)
+    val byFacet = toc.groupBy(_.getString(0))
+    // every toc facet's page doc-counts sum to the corpus size
+    Seq("publisher", "issued", "category").foreach { f =>
+      assert(byFacet(f).map(_.getLong(2)).sum == KgQueries.N, f)
+    }
+    // identificators are URL-safe
+    assert(toc.forall(_.getString(1).matches("[a-z0-9\\-]+")))
+  }
+}
