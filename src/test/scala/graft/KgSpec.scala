@@ -121,6 +121,23 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.tripleCount == s1.tripleCount)
   }
 
+  test("poison rows land in the failures table, never kill the job") {
+    import spark.implicits._
+    val good = Corpus.gen(3L, 4).map(_.src)
+    val poison = graft.model.SourceFile("repo-x", "bad/one.txt", "c1", "en",
+      "no rfc header here\n\njust prose.")
+    val empty = graft.model.SourceFile("repo-x", "bad/two.txt", "c2", "en", "")
+    val parsed = KgStages.parseStage(
+      spark.createDataset(good :+ poison :+ empty))
+    val failures = KgStages.failuresDf(parsed).collect()
+    val docs = KgStages.docsDf(parsed).collect()
+    assert(docs.length == 4)
+    assert(failures.length == 2)
+    assert(failures.forall(_.getAs[String]("error") != null))
+    // failed rows still carry the content hash (lineage invariant)
+    assert(failures.forall(_.getAs[String]("sha256").length == 64))
+  }
+
   test("salted link join produces identical results to broadcast join") {
     import spark.implicits._
     val conf = KgPipeline.Conf(workDir = tmpDir(), n = 40, seed = 11L)
