@@ -350,4 +350,52 @@ object Corpus {
   /** Driver-side corpus for tests (small n). */
   def gen(seed: Long, n: Int): Vector[GenDoc] =
     (0L until n.toLong).map(doc(seed, _, n.toLong)).toVector
+
+  // ------------------------------------------------- markdown family
+  /** Markdown README document i of a mixed corpus whose RFC half has n
+    * docs (citations target that RFC space, exercising cross-family
+    * linking). Pure function of (seed, i, n). */
+  def mdDoc(seed: Long, i: Long, n: Long): GenDoc = {
+    val r = new Rng(seed ^ (i * 0xc2b2ae3d27d4eb4fL) ^ 0x2545f4914f6cdd1dL)
+    val repo = if (r.nextBool(0.3)) megaRepo else s"repo-${r.nextInt(nTailRepos)}"
+    val lang = "en"
+    val graph = s"${EntityDict.base}/dataset/$repo"
+    val stem = s"readme-$i"
+    val path = s"docs/$stem.md"
+    // must mint identically to MdDoc.mintUri (slug applied to both parts)
+    val uri = s"${EntityDict.base}/doc/${EntityDict.slug(repo)}/${EntityDict.slug(stem)}"
+    val truth = Vector.newBuilder[Triple]
+
+    val title = s"${r.pick(titleWords)} ${r.pick(words).capitalize} Guide"
+    truth += Triple.uri(uri, Vocab.RDF_TYPE, Vocab.rfc("Readme"), graph)
+    truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
+
+    val body = new StringBuilder
+    body.append(s"# $title\n\n")
+    body.append(sentence(r)).append("\n\n")
+
+    val nSections = 1 + r.nextInt(3)
+    for (k <- 1 to nSections) {
+      val st = r.pick(sectionTitles)
+      val secUri = s"$uri#S$k"
+      body.append(s"## $st\n\n")
+      truth += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
+      truth += Triple.uri(secUri, Vocab.dcterms("isPartOf"), uri, graph)
+      truth += Triple.lit(secUri, Vocab.dcterms("title"), st, graph, lang = Some("en"))
+
+      val (ctxt, ctgt) = citation(r, 0, n)
+      body.append(wrap(s"${sentence(r)} Refer to $ctxt for the protocol details.", ""))
+        .append("\n\n")
+      truth += Triple.uri(secUri, Vocab.dcterms("references"), ctgt, graph)
+
+      // code fence containing citation-SHAPED text that must NOT be scanned
+      if (r.nextBool(0.6)) {
+        body.append("```scala\n// see RFC 9999 and section 1.2 of RFC 1\nval x = 1\n```\n\n")
+      }
+      if (r.nextBool(0.5))
+        body.append(s"- ${sentence(r)}\n\n")
+    }
+    val commit = f"m${(seed ^ i) & 0xffffffffL}%08x"
+    GenDoc(SourceFile(repo, path, commit, lang, body.toString), truth.result())
+  }
 }

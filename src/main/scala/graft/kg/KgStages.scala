@@ -55,7 +55,7 @@ object KgStages {
         val docId = s"${src.repo}/${src.path}@${src.commit}"
         val sha = RfcDoc.sha256Hex(src.content)
         try {
-          val p = RfcDoc.parse(src)
+          val p = graft.parse.DocParsers.parse(src)
           ParseOut(p.docId, src.repo, src.path, src.commit, src.lang,
             p.sha256, p.uri, p.title, p.bodyXml, p.triples, p.mentions,
             None, (System.nanoTime() - t0) / 1000000)

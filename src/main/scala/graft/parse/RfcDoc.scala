@@ -185,9 +185,14 @@ object RfcDoc {
     * LinkSubject reference triples to the closest element carrying `about`
     * (citationparser.py:98-165), i.e. the section. URL grammar runs first
     * (stock `url` pattern, citationpatterns.py:16-36). */
+  /** Compiled once per JVM — java.util.regex compilation per document was
+    * measurable at corpus scale. */
+  private val rfcGrammarsStatic =
+    CitationParser.rfcGrammars(EntityDict.canonicalRfcUri)
+
   def collectMentions(body: TreeNode, src: SourceFile, docId: String,
                       docUri: String): Vector[Mention] = {
-    val grammars = CitationParser.rfcGrammars(EntityDict.canonicalRfcUri)
+    val grammars = rfcGrammarsStatic
     val out = Vector.newBuilder[Mention]
     def walk(n: TreeNode, subjUri: String): Unit = {
       val here =

@@ -59,6 +59,38 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq("p", "q", "r").forall(cc(_) == "p"))
   }
 
+  test("connected components match union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    (0 until 3).foreach { round =>
+      val nNodes = 60 + round * 40
+      val nEdges = nNodes + rnd.nextInt(nNodes)
+      val edges = (0 until nEdges).map { _ =>
+        (s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}")
+      }.filter { case (a, b) => a != b }
+      // independent oracle: classic union-find
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.Ordering[String].min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // min-label within component must equal the union-find root-min:
+      // normalize both sides to (node -> min member of its component)
+      val byComp = expected.groupBy(_._2).view
+        .mapValues(_.keys.min).toMap
+      val want = expected.map { case (v, r) => v -> byComp(r) }
+      val got = Cc.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"round $round: CC mismatch")
+    }
+  }
+
   test("canonMap prefers the minted /rfc/ URI over lexicographic min") {
     import spark.implicits._
     val edges = Seq(
