@@ -81,7 +81,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "60000").toLong
+    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "40000").toLong
     // N-vs-4N pair defaults to local[1]/local[4]: delivered-CPU metering
     // (see BENCH_SCALING.md) shows this runner reliably provides only
     // ~4.4 real cores regardless of thread count, so the 4N level must fit

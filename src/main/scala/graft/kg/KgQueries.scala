@@ -261,6 +261,23 @@ object KgQueries {
       .limit(200)
   }
 
+  /** REST-search surface (wsgiapp.py:388-433 + fulltextindex term query):
+    * term match over titles with a tf-ish score, paginated. No search
+    * engine — the faceted table IS the index (SURVEY §1.1). */
+  def search(spark: SparkSession, dir: String,
+             term: String = "protocol", pageLen: Int = 10): DataFrame = {
+    val fac = facetPivot(spark, dir)
+    val norm = lower(col("title"))
+    fac.filter(norm.contains(term))
+      .withColumn("score",
+        (length(norm) - length(regexp_replace(norm, term, ""))) / term.length)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("uri").asc)))
+      .withColumn("page", ceil(col("rk") / pageLen.toDouble).cast("int"))
+      .select("rk", "page", "uri", "title", "score")
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_pipeline_triples" -> pipelineTriples,
     "kg_facet_pivot" -> facetPivot,
@@ -276,5 +293,6 @@ object KgQueries {
     "kg_keyword_entities" -> keywordEntities,
     "kg_nt_export" -> ntExport,
     "kg_section_natural_order" -> sectionNaturalOrder,
+    "kg_search" -> ((s, d) => search(s, d)),
   )
 }
