@@ -153,6 +153,23 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.tripleCount == s1.tripleCount)
   }
 
+  test("fuzz: arbitrary text never crashes the parse stage (parse or fail-capture)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val junkChars = "ab \n\f#-:.[]()0123456789```RFCsection of"
+    val docs = (0 until 120).map { i =>
+      val len = rnd.nextInt(400)
+      val content = (0 until len).map(_ => junkChars(rnd.nextInt(junkChars.length))).mkString
+      graft.model.SourceFile(s"r${i % 3}", s"f/$i${if (i % 4 == 0) ".md" else ".txt"}",
+        s"c$i", "en", content)
+    }
+    val parsed = KgStages.parseStage(spark.createDataset(docs)).persist()
+    val ok = KgStages.docsDf(parsed).count()
+    val bad = KgStages.failuresDf(parsed).count()
+    assert(ok + bad == 120)
+    parsed.unpersist()
+  }
+
   test("poison rows land in the failures table, never kill the job") {
     import spark.implicits._
     val good = Corpus.gen(3L, 4).map(_.src)
