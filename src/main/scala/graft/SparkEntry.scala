@@ -14,11 +14,19 @@ object SparkEntry {
       graft.text.TextOps.queries ++ graft.sim.SimOps.queries ++
       graft.mm.MultiModal.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (the kg_*
-    * queries run over the synthetic KG corpus, not the sfDir tables —
-    * their semantics are oracle-tested in ScalaTest instead). */
+  /** For each key in queries, equivalent SQL runnable by DuckDB. Queries
+    * over sfDir tables reference the driver-registered views directly;
+    * queries over engine-internal tables reference the base dumps
+    * (`__BASE__`/`__OUT__` are expanded to absolute paths by graft.Verify
+    * — see Verify.scala). */
   def oracleSql: Map[String, String] =
     graft.rel.Relational.oracleSql ++ graft.text.TextOps.oracleSql ++
-      graft.sim.SimOps.oracleSql
+      graft.sim.SimOps.oracleSql ++ graft.kg.KgQueries.oracleSql ++
+      graft.mm.MultiModal.oracleSql
+
+  /** Engine-internal tables dumped by graft.Verify under outDir/_base as
+    * oracle inputs (stage tables, signature tables, version history). */
+  def baseTables: Map[String, (SparkSession, String) => DataFrame] =
+    graft.kg.KgQueries.baseTables ++ graft.text.TextOps.baseTables ++
+      graft.mm.MultiModal.baseTables
 }

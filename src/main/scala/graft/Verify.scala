@@ -2,7 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Base-table dumps: queries over engine-internal tables (the KG pipeline's
+  * triples/docs/linked tables, the mm feature tables, signature tables)
+  * have no counterpart in sfDir, so their oracle SQL could never run —
+  * round 1 left them `no_oracle`. We dump those tables as parquet under
+  * `outDir/_base/<name>` and template the oracle SQL: `__BASE__` expands to
+  * that absolute path and `__OUT__` to outDir itself (DuckDB reads them via
+  * read_parquet, no view registration needed). The oracle then re-derives
+  * each query's RELATIONAL logic (joins, closures, aggregations, windows)
+  * independently in SQL — per-row parse semantics stay covered by the
+  * ScalaTest P/R oracles (ground truth generated independently of the
+  * parser, Corpus.scala) and the sha256 input invariant. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -16,6 +28,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    SparkEntry.baseTables.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_base/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] base $name failed: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,8 +54,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = v.replace("__BASE__", s"$absOut/_base").replace("__OUT__", absOut)
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

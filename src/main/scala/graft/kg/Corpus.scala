@@ -86,6 +86,16 @@ object Corpus {
     "Standards Track", "Informational", "Experimental",
     "Best Current Practice", "Historic")
   private val langs = Vector("en", "en", "en", "en", "en", "en", "sv", "de")
+  /** Accented title lead-words for sv/de docs — exercises the
+    * locale-collated TOC sort (reference sorts with locale.strxfrm under
+    * collate_locale, documentrepository.py:2924-2932, 193-195): under ICU
+    * sv collation å/ä/ö sort AFTER z; binary/ASCII sorts them before 'a'
+    * of the next codepage. Mixed with plain words so orders interleave. */
+  private val svTitleWords = Vector(
+    "Ängsmark", "Översikt", "Åtkomst", "Zon", "Älv", "Avtal", "Önskemål",
+    "Ordning", "Ärende", "Villkor")
+  private val deTitleWords = Vector(
+    "Übertragung", "Größe", "Ämter", "Zugriff", "Öffnung", "Ablauf")
   private val urls = Vector(
     "http://example.com/registry/params",
     "https://example.net/spec/v2",
@@ -103,47 +113,73 @@ object Corpus {
     * RFC URIs throughout — citations always format to the canonical URI). */
   final case class GenDoc(src: SourceFile, truth: Vector[Triple])
 
-  /** Curated owl:sameAs edges (the role of the reference's curated
-    * sameas.n3, /root/reference/ferenda/sources/legal/eu/res/extra/
-    * sameas.n3:42-77): every 7th document also has 1-2 legacy alias URIs
-    * chained alias2 -> alias1 -> canonical, exercising multi-hop CC. */
-  def sameAsEdges(seed: Long, n: Long): Vector[(String, String)] = {
-    val out = Vector.newBuilder[(String, String)]
-    var i = 0L
-    while (i < n) {
-      if (i % 7 == 0) {
-        val canon = EntityDict.canonicalRfcUri(rfcNum(i).toString)
-        val a1 = s"${EntityDict.base}/legacy/rfc${rfcNum(i)}"
-        out += ((a1, canon))
-        if (i % 21 == 0) {
-          val a2 = s"${EntityDict.base}/old/ietf-doc-${rfcNum(i)}"
-          out += ((a2, a1))
-        }
-      }
-      i += 1
+  /** Curated owl:sameAs edges contributed by document i (empty for most;
+    * the role of the reference's curated sameas.n3,
+    * /root/reference/ferenda/sources/legal/eu/res/extra/sameas.n3:42-77):
+    * every 7th document also has 1-2 legacy alias URIs chained
+    * alias2 -> alias1 -> canonical, exercising multi-hop CC.
+    * Pure function of i — generated ON EXECUTORS via
+    * `spark.range(n).flatMap(sameAsEdgesFor)`, never as a driver Vector
+    * (a 10^12-file corpus has 10^11 alias edges). */
+  def sameAsEdgesFor(i: Long): Seq[(String, String)] =
+    if (i % 7 != 0) Nil
+    else {
+      val canon = EntityDict.canonicalRfcUri(rfcNum(i).toString)
+      val a1 = s"${EntityDict.base}/legacy/rfc${rfcNum(i)}"
+      val head = (a1, canon)
+      if (i % 21 == 0)
+        Seq(head, (s"${EntityDict.base}/old/ietf-doc-${rfcNum(i)}", a1))
+      else Seq(head)
     }
-    out.result()
+
+  /** Driver-side collection for small-n tests. */
+  def sameAsEdges(seed: Long, n: Long): Vector[(String, String)] =
+    (0L until n).flatMap(sameAsEdgesFor).toVector
+
+  /** Curated metadata of document i published under its alias URI (what
+    * canonicalization must fold into the canonical graph): (raw triple,
+    * ground-truth triple with the canonical subject). Pure function of i —
+    * executor-generable like [[sameAsEdgesFor]]. */
+  def aliasTriplesFor(i: Long): Seq[(Triple, Triple)] =
+    if (i % 7 != 0) Nil
+    else {
+      val g = s"${EntityDict.base}/dataset/curated"
+      val canon = EntityDict.canonicalRfcUri(rfcNum(i).toString)
+      val alias = s"${EntityDict.base}/legacy/rfc${rfcNum(i)}"
+      val t = Triple.lit(alias, Vocab.SKOS_ALT, s"Legacy RFC ${rfcNum(i)}", g)
+      Seq((t, t.copy(subj = canon)))
+    }
+
+  /** Driver-side collection for small-n tests. */
+  def aliasTriples(seed: Long, n: Long): (Vector[Triple], Vector[Triple]) = {
+    val pairs = (0L until n).flatMap(aliasTriplesFor)
+    (pairs.map(_._1).toVector, pairs.map(_._2).toVector)
   }
 
-  /** Curated metadata published under alias URIs (what canonicalization must
-    * fold into the canonical graph). Ground truth for these is the same
-    * triple with the canonical subject. */
-  def aliasTriples(seed: Long, n: Long): (Vector[Triple], Vector[Triple]) = {
-    val raw = Vector.newBuilder[Triple]
-    val truth = Vector.newBuilder[Triple]
-    val g = s"${EntityDict.base}/dataset/curated"
-    var i = 0L
-    while (i < n) {
-      if (i % 7 == 0) {
-        val canon = EntityDict.canonicalRfcUri(rfcNum(i).toString)
-        val alias = s"${EntityDict.base}/legacy/rfc${rfcNum(i)}"
-        val t = Triple.lit(alias, Vocab.SKOS_ALT, s"Legacy RFC ${rfcNum(i)}", g)
-        raw += t
-        truth += t.copy(subj = canon)
-      }
-      i += 1
+  // ---------------------------------------------------- version history
+  /** One archived version of a source file (list_versions/archive axis,
+    * /root/reference/ferenda/documentstore.py:622-693, 787-825). */
+  final case class VersionRow(repo: String, path: String, commit: String,
+      seq: Int, sha256: String)
+
+  /** Deterministic version history for document i: 1-3 commits per file,
+    * seq ascending (highest = current). Pure function of (seed, i, n) —
+    * executor-generable. sha256 differs per version (content changed). */
+  def versionsFor(seed: Long, i: Long, n: Long): Seq[VersionRow] = {
+    val r = new Rng(seed ^ (i * 0xd6e8feb86659fd93L) ^ 0x8febc10735a2b9edL)
+    val d = doc(seed, i, n)
+    val nVersions = 1 + r.nextInt(3)
+    (0 until nVersions).map { v =>
+      val commit =
+        if (v == nVersions - 1) d.src.commit // latest = the corpus commit
+        else f"c${r.nextLong() & 0xffffffffL}%08x"
+      val sha =
+        if (v == nVersions - 1)
+          graft.parse.RfcDoc.sha256Hex(d.src.content)
+        else f"${r.nextLong()}%016x${r.nextLong()}%016x" +
+          f"${r.nextLong()}%016x${r.nextLong()}%016x"
+      VersionRow(d.src.repo, d.src.path, commit, v, sha)
     }
-    (raw.result(), truth.result())
   }
 
   // ----------------------------------------------------------- doc assembly
@@ -179,6 +215,50 @@ object Corpus {
       case _ =>
         val u = r.pick(urls)
         (s"see $u", u)
+    }
+  }
+
+  // ------------------------------------------------------- eulaw citations
+  private val euInstitutions = Vector(
+    "rådets", "Europaparlamentets och rådets", "kommissionens")
+  private val euMonths = Vector("januari", "februari", "mars", "april",
+    "maj", "juni", "juli", "augusti", "september", "oktober", "november",
+    "december")
+
+  /** CELEX number, computed INDEPENDENTLY of the parser (the GT side of
+    * the P/R oracle): sector 3, 4-digit year, L=direktiv / R=förordning,
+    * 4-digit act number. */
+  private def celexOf(year4: Int, ord: Int, direktiv: Boolean): String =
+    f"3$year4%04d${if (direktiv) "L" else "R"}$ord%04d"
+
+  /** One Swedish EU-law citation (the reference's stock eulaw grammar
+    * shapes, citationpatterns.py:40-70): returns (text fragment, ground-
+    * truth target URI). Forms: article-in-act, act alone, bare article
+    * (doc-relative). */
+  private def euCitation(r: Rng, docUri: String): (String, String) = {
+    val inst = r.pick(euInstitutions)
+    val direktiv = r.nextBool(0.6)
+    val year4 = 1960 + r.nextInt(64)
+    val ord = 1 + r.nextInt(2000)
+    val day = 1 + r.nextInt(28)
+    val month = r.pick(euMonths)
+    // two-digit rendering only where the 1958-epoch expansion is lossless
+    val yearTxt =
+      if (year4 < 2000 && r.nextBool(0.5)) f"${year4 % 100}%02d"
+      else year4.toString
+    val actTxt =
+      if (direktiv) s"$inst direktiv $yearTxt/$ord/EG av den $day $month $year4"
+      else s"$inst förordning (EG) nr $ord/$yearTxt av den $day $month $year4"
+    val actUri = s"${EntityDict.base}/celex/${celexOf(year4, ord, direktiv)}"
+    r.nextInt(3) match {
+      case 0 =>
+        val art = 1 + r.nextInt(90)
+        val sub = if (r.nextBool(0.4)) s".${1 + r.nextInt(9)}" else ""
+        (s"artikel $art$sub i $actTxt", s"$actUri#A$art$sub")
+      case 1 => (actTxt, actUri)
+      case _ =>
+        val art = 1 + r.nextInt(90)
+        (s"artikel $art", s"$docUri#A$art")
     }
   }
 
@@ -254,8 +334,12 @@ object Corpus {
     truth += Triple.uri(uri, Vocab.RDF_TYPE,
       if (bcp.isDefined) Vocab.rfc("BCP") else Vocab.rfc("RFC"), graph)
 
-    // ---- title
-    val title = s"${r.pick(titleWords)} for ${r.pick(words).capitalize} " +
+    // ---- title (sv/de docs lead with an accented word — see svTitleWords)
+    val titleLead =
+      if (lang == "sv") r.pick(svTitleWords) + " "
+      else if (lang == "de") r.pick(deTitleWords) + " "
+      else ""
+    val title = s"$titleLead${r.pick(titleWords)} for ${r.pick(words).capitalize} " +
       s"${r.pick(words).capitalize} ${r.pick(titleWords)}"
     val shortTitle = title.split(" ").take(2).mkString(" ")
     truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
@@ -305,6 +389,15 @@ object Corpus {
       body.append(wrap(para, "   ")).append("\n\n")
       cits.foreach { case (_, target) =>
         truth += Triple.uri(secUri, Vocab.dcterms("references"), target, graph)
+      }
+
+      // sv docs carry one Swedish EU-law citation in their first section
+      // (exercises the stock eulaw grammar, citationpatterns.py:40-70)
+      if (lang == "sv" && k == 0) {
+        val (etxt, etgt) = euCitation(r, uri)
+        body.append(wrap(s"Kraven följer även av $etxt enligt gällande rätt.",
+          "   ")).append("\n\n")
+        truth += Triple.uri(secUri, Vocab.dcterms("references"), etgt, graph)
       }
 
       // optional unordered list

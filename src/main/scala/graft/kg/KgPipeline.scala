@@ -199,16 +199,26 @@ object KgPipeline {
       linkCount, (System.nanoTime() - t0) / 1e9, stageSec.toMap)
   }
 
-  /** Convenience: synthesize-and-run (bench + tests). */
-  def runSynthetic(spark: SparkSession, conf: Conf): Summary = {
+  /** Curated sameAs edges, generated ON EXECUTORS (pure function of the
+    * index, like synthesizeInput — a driver-side Vector contradicts the
+    * 10^12-file scale argument and shipped 1.3 MiB tasks in round 1). */
+  def sameAsEdges(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
-    val input = synthesizeInput(spark, conf.n, conf.seed)
-    val sameAs = spark.createDataFrame(
-      Corpus.sameAsEdges(conf.seed, conf.n)).toDF("src", "dst")
-    val (curatedRaw, _) = Corpus.aliasTriples(conf.seed, conf.n)
-    val curated = spark.createDataset(curatedRaw).toDF()
-    run(spark, conf, input, sameAs, curated)
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .flatMap(i => Corpus.sameAsEdgesFor(i)).toDF("src", "dst")
   }
+
+  /** Curated alias-subject triples, executor-generated (see sameAsEdges). */
+  def curatedTriples(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+      .flatMap(i => Corpus.aliasTriplesFor(i).map(_._1)).toDF()
+  }
+
+  /** Convenience: synthesize-and-run (bench + tests). */
+  def runSynthetic(spark: SparkSession, conf: Conf): Summary =
+    run(spark, conf, synthesizeInput(spark, conf.n, conf.seed),
+      sameAsEdges(spark, conf.n), curatedTriples(spark, conf.n))
 
   def main(args: Array[String]): Unit = {
     val opts = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap

@@ -1,0 +1,39 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Version history / time-travel operators over a versioned file table —
+  * the reference's list_versions / archive axis
+  * (/root/reference/ferenda/documentstore.py:622-693 list_versions,
+  * 787-825 archive): every store write archives the previous version under
+  * a monotone version id; readers resolve either the newest version or the
+  * newest version at-or-before a point.
+  *
+  * Scale notes: both operators are one hash-shuffle on the version key
+  * (repo, path) followed by a partition-local window — Catalyst plans the
+  * window's sort inside the exchange, no global ordering anywhere. At
+  * 100 TB the key space is ~file count: high cardinality → even
+  * distribution; a pathologically hot file still only funnels its own
+  * versions (bounded) into one task.
+  */
+object Versions {
+
+  private def w(ord: Column) =
+    Window.partitionBy(col("repo"), col("path")).orderBy(ord)
+
+  /** Newest version per (repo, path) — list_versions head / the store's
+    * "current" resolution. */
+  def latest(versions: DataFrame): DataFrame =
+    versions
+      .withColumn("__rk", row_number().over(w(col("seq").desc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+
+  /** Time-travel: newest version with seq <= cutoff per (repo, path);
+    * files that did not exist at the cutoff are absent (the reference
+    * raises when no archived version matches). */
+  def asOf(versions: DataFrame, cutoff: Int): DataFrame =
+    latest(versions.filter(col("seq") <= cutoff))
+}

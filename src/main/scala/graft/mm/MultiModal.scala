@@ -118,4 +118,29 @@ object MultiModal {
     "mm_feature_stats" -> featureStats,
     "mm_frame_summary" -> frameSummary,
   )
+
+  /** Per-asset feature/frame tables dumped by graft.Verify under
+    * outDir/_base: the decode stage is a stub (no codecs in container), so
+    * the oracle checks the RELATIONAL layer over these dumps; the decode
+    * plumbing itself is unit-tested (MultiModalSpec). */
+  val baseTables: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> ((s, d) =>
+      extractFeatures(assets(s, d)).select("asset_id", "modality", "entropy")),
+    "mm_frames" -> ((s, d) => sampleFrames(assets(s, d))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_feature_stats" ->
+      """SELECT modality, count(*) AS n_assets,
+         round(avg(entropy), 4) AS avg_entropy,
+         round(min(entropy), 4) AS min_entropy,
+         round(max(entropy), 4) AS max_entropy
+         FROM read_parquet('__BASE__/mm_features/*.parquet')
+         GROUP BY 1""",
+    "mm_frame_summary" ->
+      """SELECT asset_id, count(*) AS n_frames,
+         count(DISTINCT frame_digest) AS n_distinct_frames
+         FROM read_parquet('__BASE__/mm_frames/*.parquet')
+         GROUP BY 1""",
+  )
 }

@@ -85,4 +85,59 @@ object CitationParser {
         """\[?RFC ?(?<rfc>\d+)\]?""".r,
         Seq("rfc"), c => rfcPart(c)))
   }
+
+  // --------------------------------------------------------------- eulaw
+  /** CELEX number for an EU legal act (public CELEX scheme: sector 3 =
+    * legislation, 4-digit year, L=directive / R=regulation, number padded
+    * to 4): directive 1995/46 → "31995L0046". Two-digit years expand per
+    * the EEC epoch (1958): yy >= 58 → 19yy, else 20yy. */
+  def celexNum(year: String, ord: String, acttype: String): String = {
+    val y4 =
+      if (year.length == 4) year.toInt
+      else if (year.toInt >= 58) 1900 + year.toInt
+      else 2000 + year.toInt
+    val letter = if (acttype == "direktiv") "L" else "R"
+    f"3$y4%04d$letter${ord.toInt}%04d"
+  }
+
+  /** EU-law citation grammars — port of the reference's stock eulaw
+    * grammar (citationpatterns.py:40-70: Swedish-language references like
+    * "rådets direktiv 95/46/EG av den 24 oktober 1995", "artikel 42.1 i
+    * kommissionens förordning (EG) nr 1234/2006 av den ...", bare
+    * "artikel 42.1"), tried most-specific-first exactly like the
+    * reference's MatchFirst([ArticleLegalact, Legalact, Article]).
+    *
+    * URI formatting: the reference's uriformats.eulaw documents a
+    * "CELEX-based URI" but raises NotImplementedError
+    * (uriformats.py:47-57); we implement that documented intent —
+    * acts mint into the corpus URI space via the COIN celex template,
+    * articles-in-acts append an "#A<n>[.<m>]" fragment, and bare
+    * articles format doc-relative (resolved by the caller like section
+    * refs). */
+  def eulawGrammars(celexUri: String => String): Seq[Grammar] = {
+    val inst = "(?:rådets|Europaparlamentets och rådets|kommissionens)"
+    val month = "(?:januari|februari|mars|april|maj|juni|juli|augusti" +
+      "|september|oktober|november|december)"
+    val dirPat = """(?<dyear>\d{4}|\d{2})/(?<dord>\d+)/(?:EEG|EG)"""
+    val regPat = """\((?:EEG|EG)\) nr (?<rord>\d+)/(?<ryear>\d{4}|\d{2})"""
+    val date = s"""av den \\d{1,2} $month \\d{4}"""
+    val act =
+      s"""$inst (?<acttype>direktiv|förordning) (?:$dirPat|$regPat) $date"""
+    val article = """artikel (?<art>\d+)(?:\.(?<subart>\d+))?"""
+    def actUri(c: Map[String, String]): String = {
+      val year = c.getOrElse("dyear", c.getOrElse("ryear", ""))
+      val ord = c.getOrElse("dord", c.getOrElse("rord", ""))
+      celexUri(celexNum(year, ord, c("acttype")))
+    }
+    def artFrag(c: Map[String, String]): String =
+      "#A" + c("art") + c.get("subart").map("." + _).getOrElse("")
+    Seq(
+      Grammar("EULawArticleAct", s"""\\b$article i $act""".r,
+        Seq("art", "subart", "acttype", "dyear", "dord", "ryear", "rord"),
+        c => actUri(c) + artFrag(c)),
+      Grammar("EULawAct", s"""\\b$act""".r,
+        Seq("acttype", "dyear", "dord", "ryear", "rord"), actUri),
+      Grammar("EULawArticle", s"""\\b$article""".r,
+        Seq("art", "subart"), artFrag))
+  }
 }

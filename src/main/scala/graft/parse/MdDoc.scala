@@ -73,11 +73,12 @@ object MdDoc {
     text.split("\n\n+", -1).iterator.map(_.dropWhile(_ == '\n')).filter(_.nonEmpty)
 
   // ---- per-row parse -----------------------------------------------------
-  private val grammars = CitationParser.rfcGrammars(EntityDict.canonicalRfcUri)
+  private val grammars = CitationParser.rfcGrammars(graft.kg.Coin.rfcUri) ++
+    CitationParser.eulawGrammars(graft.kg.Coin.celexUri)
 
   def mintUri(repo: String, path: String): String = {
     val stem = path.replaceAll("^.*/", "").replaceAll("\\.md$", "")
-    s"${EntityDict.base}/doc/${EntityDict.slug(repo)}/${EntityDict.slug(stem)}"
+    graft.kg.Coin.readmeUri(repo, stem) // COIN priority-template mint
   }
 
   def parse(src: SourceFile): RfcDoc.Parsed = {
@@ -110,7 +111,7 @@ object MdDoc {
       n.children.foreach { c =>
         if (c.tag == "Section") {
           val ord = c.attr("ordinal").get
-          val secUri = s"$uri#S$ord"
+          val secUri = graft.kg.Coin.sectionUri(uri, ord)
           triples += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
           triples += Triple.uri(secUri, Vocab.dcterms("isPartOf"), parentUri, graph)
           c.attr("title").foreach(t => triples +=
@@ -124,7 +125,7 @@ object MdDoc {
     def scan(n: TreeNode, subjUri: String): Unit = {
       val here =
         if (n.tag == "Section")
-          n.attr("ordinal").map(o => s"$uri#S$o").getOrElse(subjUri)
+          n.attr("ordinal").map(graft.kg.Coin.sectionUri(uri, _)).getOrElse(subjUri)
         else subjUri
       if (n.tag != "CodeBlock") {
         n.text.foreach { t =>

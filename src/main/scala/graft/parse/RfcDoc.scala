@@ -105,7 +105,7 @@ object RfcDoc {
           val pred = if (key == "Updates") Vocab.rfc("updates") else Vocab.rfc("obsoletes")
           for (part <- value.split(", ");
                m <- """\d+""".r.findFirstIn(part))
-            out += Triple.uri(uri, pred, EntityDict.canonicalRfcUri(m), graph)
+            out += Triple.uri(uri, pred, graft.kg.Coin.rfcUri(m), graph)
         case "BCP" =>
           out += Triple.lit(uri, Vocab.rfc("bcpnumber"), value, graph)
           rdfType = Some(Vocab.rfc("BCP"))
@@ -165,7 +165,7 @@ object RfcDoc {
       n.children.foreach { c =>
         if (Set("Section", "Subsection", "Subsubsection")(c.tag)) {
           val ord = c.attr("ordinal").getOrElse("")
-          val secUri = s"$docUri#S$ord"
+          val secUri = graft.kg.Coin.sectionUri(docUri, ord)
           out += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
           out += Triple.uri(secUri, Vocab.dcterms("isPartOf"), parentUri, graph)
           c.attr("title").foreach(t =>
@@ -188,7 +188,8 @@ object RfcDoc {
   /** Compiled once per JVM — java.util.regex compilation per document was
     * measurable at corpus scale. */
   private val rfcGrammarsStatic =
-    CitationParser.rfcGrammars(EntityDict.canonicalRfcUri)
+    CitationParser.rfcGrammars(graft.kg.Coin.rfcUri) ++
+      CitationParser.eulawGrammars(graft.kg.Coin.celexUri)
 
   def collectMentions(body: TreeNode, src: SourceFile, docId: String,
                       docUri: String): Vector[Mention] = {
@@ -197,7 +198,7 @@ object RfcDoc {
     def walk(n: TreeNode, subjUri: String): Unit = {
       val here =
         if (Set("Section", "Subsection", "Subsubsection")(n.tag))
-          n.attr("ordinal").map(o => s"$docUri#S$o").getOrElse(subjUri)
+          n.attr("ordinal").map(graft.kg.Coin.sectionUri(docUri, _)).getOrElse(subjUri)
         else subjUri
       n.text.foreach { t =>
         // RFCHeader/DocTitle are popped before the citation pass; here we
@@ -235,7 +236,7 @@ object RfcDoc {
                       c.attr("title").contains("Table of Contents")))
 
     val basefile = rfcNumFromHeader(header).getOrElse(basefileGuess)
-    val uri = EntityDict.canonicalRfcUri(basefile)
+    val uri = graft.kg.Coin.rfcUri(basefile) // COIN priority-template mint
 
     val (cleaned, shortTitle0) = cleanupBody(body)
     body = cleaned

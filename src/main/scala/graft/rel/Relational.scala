@@ -161,11 +161,12 @@ object Relational {
       .select(col("event_id"), col("ts"), col("event_type"))
 
   /** Pagination / Atom archive chunking (documentrepository.py:3639-3661):
-    * bucket events into pages of 100 by time order, count per page. */
+    * bucket events into pages of 100 by time order, count per page.
+    * Global order via the two-phase [[Ranking.globalRank]] — no
+    * single-task window. */
   def paginationBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("ts").asc, col("event_id").asc)
-    t(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
+    Ranking.globalRank(t(spark, dir, "events"),
+        Seq(col("ts").asc, col("event_id").asc), "rn")
       .withColumn("page", floor((col("rn") - 1) / 100))
       .groupBy(col("page"))
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"))

@@ -98,6 +98,30 @@ object TextOps {
         sum(when(col("n") > 1, col("n") - 1).otherwise(0)).as("dropped_dups"),
         count(when(col("n") > 1, 1)).as("dup_groups"))
 
+  /** Document-frequency cap for the pair-discovery inverted indexes: a
+    * posting key (shingle / MinHash band bucket / SimHash segment / LSH
+    * bucket) present in k rows contributes k²/2 candidate pairs — one
+    * ultra-common key ("all rights reserved" shingles, a constant-content
+    * bug) goes quadratic at corpus scale. Keys with df > cap are dropped
+    * from candidate generation (VERDICT r1 #4). The default is far above
+    * any key's df on healthy corpora (expected df ≪ n_docs), so outputs
+    * are unchanged; it bounds the blast radius of pathological data. Note
+    * the semantics under truncation: MinHash/LSH only lose CANDIDATES
+    * (verification stays exact); exact-Jaccard loses intersection counts
+    * for pairs whose only shared shingles are ultra-common — an explicit
+    * approximation trade, as in every production dedup pipeline. */
+  final val MaxDf = 100000
+
+  /** Drop postings whose key appears in more than `maxDf` rows. One extra
+    * aggregate on the already-shuffled key; callers can difference counts
+    * to log dropped volume. */
+  def capDf(postings: DataFrame, keyCols: Seq[String], maxDf: Int): DataFrame = {
+    val sizes = postings.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+    postings.join(sizes.filter(col("__df") <= maxDf).drop("__df"),
+      keyCols, "left_semi")
+  }
+
   /** Distinct word-3-gram shingles per doc: (doc_id, shingle) long table +
     * per-doc shingle counts. The inverted-index building block. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
@@ -119,9 +143,11 @@ object TextOps {
     * materializes the O(n^2) pair space — only pairs sharing >= 1 shingle
     * survive to the aggregation. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(spark, dir).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+                        threshold: Double = 0.8,
+                        maxDf: Int = MaxDf): DataFrame = {
+    val sh0 = shingles(spark, dir).persist()
+    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = capDf(sh0, Seq("shingle"), maxDf) // hot-shingle guard
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -203,14 +229,17 @@ object TextOps {
     * EXACT Jaccard verification of the candidates (so output equals the
     * brute-force answer whenever banding recall holds — see Bands). */
   def minhashLshPairs(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxDf: Int = MaxDf): DataFrame = {
     val sh = shingles(spark, dir).persist()
     val sig = minhashSignatures(sh)
     val rows = MinhashPerms / Bands
-    val banded = sig.select(col("doc_id"),
+    val banded0 = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .toDF("doc_id", "band", "bucket")
+    // hot-bucket guard: candidates only — verification below stays exact
+    val banded = capDf(banded0, Seq("band", "bucket"), maxDf)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -257,17 +286,19 @@ object TextOps {
   /** SimHash near-dup pairs at hamming distance <= k, found by 4-segment
     * banding (pigeonhole: any pair with hamming <= 3 shares at least one
     * exact 16-bit segment; k defaults to 3). */
-  def simhashPairs(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, k: Int = 3,
+                   maxDf: Int = MaxDf): DataFrame = {
     val sh = simhashDf(spark, dir)
     val segArr = array((0 until 4).map { s =>
       struct(lit(s).as("seg"),
         shiftrightunsigned(col("simhash"), s * 16)
           .bitwiseAND(lit(0xffffL)).as("segval"))
     }: _*)
-    val seg = sh.select(col("doc_id"), col("simhash"),
+    val seg0 = sh.select(col("doc_id"), col("simhash"),
         explode(segArr).as("x"))
       .select(col("doc_id"), col("simhash"),
         col("x.seg").as("seg"), col("x.segval").as("segval"))
+    val seg = capDf(seg0, Seq("seg", "segval"), maxDf) // hot-segment guard
     val cand = seg.as("a").join(seg.as("b"),
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -285,27 +316,45 @@ object TextOps {
     * every k-gram of tokens, keep the min hash of each sliding window of w,
     * dedup — a compact signature for containment/plagiarism-style matching.
     * Output: per-doc fingerprint count + a stable combined digest. */
+  /** The winnowing fingerprint set of one token sequence. */
+  def fingerprintSet(ws: Seq[String], k: Int = 5, w: Int = 4): Seq[Long] = {
+    val grams = ws.sliding(k).filter(_.size == k)
+      .map(g => hash64(g.mkString(" "), 0xf1e5)).toArray
+    val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + w <= grams.length) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
+      fps += m
+      i += 1
+    }
+    fps.toSeq
+  }
+
   def fingerprints(spark: SparkSession, dir: String,
                    k: Int = 5, w: Int = 4): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select(col("doc_id"), tokensCol.as("ws"))
       .as[(Long, Seq[String])]
       .map { case (id, ws) =>
-        val grams = ws.sliding(k).filter(_.size == k)
-          .map(g => hash64(g.mkString(" "), 0xf1e5)).toArray
-        val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
-        var i = 0
-        while (i + w <= grams.length) {
-          var m = Long.MaxValue
-          var j = i
-          while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
-          fps += m
-          i += 1
-        }
+        val fps = fingerprintSet(ws, k, w)
         val digest = fps.foldLeft(0L)(_ ^ _)
         (id, fps.size, f"$digest%016x")
       }.toDF("doc_id", "n_fingerprints", "digest")
       .orderBy("doc_id")
+  }
+
+  /** Exploded (doc_id, fp) fingerprint table — the base dump the driver's
+    * oracle re-aggregates (count + xor fold in SQL) to check
+    * [[fingerprints]]. */
+  def fingerprintsExploded(spark: SparkSession, dir: String,
+                           k: Int = 5, w: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id"), tokensCol.as("ws"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, ws) => fingerprintSet(ws, k, w).map((id, _)) }
+      .toDF("doc_id", "fp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,6 +366,17 @@ object TextOps {
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
     "text_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
+  )
+
+  /** Signature tables dumped by graft.Verify under outDir/_base: the
+    * per-row hash functions (simhash, winnowing) are not expressible in
+    * SQL, so the oracle checks the RELATIONAL layer over these dumps
+    * (pair join + hamming for simhash; count + xor fold for
+    * fingerprints) — the hash functions themselves are unit-tested
+    * (TextOpsSpec planted-near-dup recall). */
+  val baseTables: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_simhash" -> ((s, d) => simhashDf(s, d)),
+    "text_fps" -> ((s, d) => fingerprintsExploded(s, d)),
   )
 
   /** DuckDB oracles. The two probabilistic pair queries share the exact
@@ -391,6 +451,20 @@ object TextOps {
            FROM g""",
       "text_jaccard_pairs" -> bruteJaccard,
       "text_minhash_lsh_pairs" -> bruteJaccard,
+      "text_simhash_pairs" ->
+        // brute hamming over the dumped signatures — completeness of the
+        // 4-segment pigeonhole banding is exactly what this verifies
+        """WITH sh AS (SELECT * FROM read_parquet('__BASE__/text_simhash/*.parquet'))
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+      "text_fingerprints" ->
+        """SELECT d.doc_id, count(f.fp) AS n_fingerprints,
+             printf('%016x', coalesce(bit_xor(f.fp), 0)) AS digest
+           FROM documents d
+           LEFT JOIN read_parquet('__BASE__/text_fps/*.parquet') f
+           USING (doc_id) GROUP BY 1""",
     )
   }
 }

@@ -41,7 +41,12 @@ class FacetsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("publisher", "issued", "category").foreach { f =>
       assert(byFacet(f).map(_.getLong(2)).sum == KgQueries.N, f)
     }
-    // identificators are URL-safe
-    assert(toc.forall(_.getString(1).matches("[a-z0-9\\-]+")))
+    // identificators follow the reference's defaultidentificator contract
+    // (facet.py:143-154: lower().replace(" ","-") — non-ASCII passes
+    // through, so sv/de accented titles keep å/ä/ö here)
+    assert(toc.forall(r => {
+      val s = r.getString(1)
+      !s.contains(" ") && s == s.toLowerCase
+    }))
   }
 }

@@ -91,4 +91,25 @@ class ParserSpec extends AnyFunSuite {
     assert(ts.exists(t => t.pred == Vocab.dcterms("issued") && t.obj == "2001-04" &&
       t.objDatatype.contains(Vocab.xsd("gYearMonth"))))
   }
+  test("eulaw grammar: Swedish EU-law citations resolve to CELEX URIs") {
+    val g = CitationParser.eulawGrammars(graft.kg.Coin.celexUri)
+    val base = graft.kg.EntityDict.base
+    val cits = CitationParser.scanWithUrls(
+      "Kraven följer även av artikel 29.1 i rådets direktiv 95/46/EG " +
+        "av den 24 oktober 1995 enligt gällande rätt.", g)
+    assert(cits.map(_.grammar) == Vector("EULawArticleAct"))
+    assert(cits.head.candidateUri == s"$base/celex/31995L0046#A29.1")
+    val c2 = CitationParser.scanWithUrls(
+      "enligt kommissionens förordning (EG) nr 45/2001 av den " +
+        "18 december 2000 gäller detta", g)
+    assert(c2.map(_.grammar) == Vector("EULawAct"))
+    assert(c2.head.candidateUri == s"$base/celex/32001R0045")
+    // bare article → doc-relative fragment, resolved by the caller
+    val c3 = CitationParser.scanWithUrls("se artikel 5 för detaljer", g)
+    assert(c3.map(_.candidateUri) == Vector("#A5"))
+    // 2-digit year expansion: 1958 EEC epoch rule
+    val c4 = CitationParser.scanWithUrls(
+      "Europaparlamentets och rådets direktiv 02/58/EG av den 12 juli 2002", g)
+    assert(c4.head.candidateUri == s"$base/celex/32002L0058")
+  }
 }

@@ -31,6 +31,33 @@ class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.forall(_.getDouble(2) >= 0.4))
   }
 
+  test("blocked pair scan equals in-memory brute force exactly") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val expect = (for {
+      i <- e.indices.iterator
+      j <- (i + 1) until e.length
+    } yield {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      val (va, vb) = (e(i)._2, e(j)._2)
+      while (d < va.length) {
+        s += va(d) * vb(d); na += va(d) * va(d); nb += vb(d) * vb(d); d += 1
+      }
+      (e(i)._1, e(j)._1, s / (math.sqrt(na) * math.sqrt(nb)))
+    }).filter(_._3 >= 0.4)
+      .map { case (a, b, c) =>
+        (a, b, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toVector.sorted
+    val got = SimOps.cosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector.sorted
+    assert(got == expect)
+  }
+
   test("brute-force knn: k neighbors per probe, self excluded") {
     val knn = knnSet(SimOps.knnBrute(spark, dir))
     assert(knn.keySet == (0L until 10L).toSet)
@@ -69,12 +96,13 @@ class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g = SimOps.embeddingNeardupGroups(spark, dir).collect()
     assert(g.nonEmpty)
     g.foreach { r =>
-      val members = r.getSeq[Long](2)
+      val members = r.getString(2).split(",").map(_.toLong).toSeq
       assert(r.getLong(1) == members.size)
       assert(members.contains(r.getLong(0))) // representative is a member
+      assert(members.min == r.getLong(0))    // rep = numeric min member
     }
     // groups are disjoint
-    val all = g.flatMap(_.getSeq[Long](2))
+    val all = g.flatMap(_.getString(2).split(",").map(_.toLong))
     assert(all.distinct.length == all.length)
   }
 }

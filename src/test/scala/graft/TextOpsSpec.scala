@@ -71,4 +71,25 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l = TextOps.langId(spark, dir).collect()
     assert(l.map(_.getLong(2)).sum == 500)
   }
+
+  test("df cap drops one pathological hot key, keeps healthy postings") {
+    import spark.implicits._
+    // one shingle in 1000 docs would contribute ~500k candidate pairs;
+    // the cap removes exactly it and nothing else
+    val postings = ((1 to 1000).map(i => (i.toLong, "the same boilerplate")) ++
+      Seq((1L, "a rare shingle"), (2L, "a rare shingle"))).toDF("doc_id", "shingle")
+    val capped = TextOps.capDf(postings, Seq("shingle"), maxDf = 100)
+    assert(capped.filter($"shingle" === "the same boilerplate").count() == 0)
+    assert(capped.filter($"shingle" === "a rare shingle").count() == 2)
+    // candidate pairs from the capped index are bounded: 1 pair, not ~500k
+    val pairs = capped.as("a").join(capped.as("b"),
+      $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+    assert(pairs.count() == 1)
+    // default cap is a no-op on the healthy corpus: identical pair output
+    val full = TextOps.ngramJaccardPairs(spark, dir, maxDf = Int.MaxValue)
+      .collect().map(_.toString).toSet
+    val defd = TextOps.ngramJaccardPairs(spark, dir).collect()
+      .map(_.toString).toSet
+    assert(full == defd)
+  }
 }
