@@ -25,13 +25,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  /** Per-session tmpfs scratch dir for shuffle/spill files. */
+  private def localDir(): String = {
+    val base = new java.io.File("/dev/shm/graft-local")
+    base.mkdirs()
+    java.nio.file.Files.createTempDirectory(base.toPath, "s").toString
+  }
+
+  /** `fixedShuffle`: the KG scaling pair runs with a LEVEL-INDEPENDENT
+    * shuffle partition count (and AQE coalescing off) so both levels
+    * execute the identical plan — task and output-file counts included.
+    * A cpus-derived count makes the N-level and 4N-level runs different
+    * jobs, and the ratio measures plan size, not parallelism. */
+  private def session(cpus: Int, fixedShuffle: Option[Int] = None): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", (cpus * 3).toString)
+      .config("spark.sql.shuffle.partitions",
+        fixedShuffle.map(_.toString).getOrElse((cpus * 3).toString))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        fixedShuffle.isEmpty.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle/spill files on tmpfs: with >1 thread the default /tmp
+      // (disk) shuffle dir writeback-stalls the materialize stage — the
+      // same disk-noise source BENCH_SCALING.md documents for stage
+      // tables, but on the shuffle path
+      .config("spark.local.dir", localDir())
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -67,7 +87,7 @@ object Bench {
     * shared warm JVM). `warm` additionally runs a 1/8-size warmup first. */
   private def measuredKgRun(cpus: Int, n: Long, warm: Boolean,
                             tag: String): KgRunResult = {
-    val s = session(cpus)
+    val s = session(cpus, fixedShuffle = Some(24))
     try {
       if (warm) kgRun(s, math.max(1000L, n / 8), s"warm$cpus")
       kgRun(s, n, tag)
@@ -81,7 +101,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "40000").toLong
+    // 200k: at 40k fixed job-boundary costs dominate the 4N level and
+    // understate scaling (BENCH_SCALING.md round-2 measurements)
+    val kgN = sys.env.getOrElse("SPARK_GRAFT_KG_N", "200000").toLong
     // N-vs-4N pair defaults to local[1]/local[4]: delivered-CPU metering
     // (see BENCH_SCALING.md) shows this runner reliably provides only
     // ~4.4 real cores regardless of thread count, so the 4N level must fit

@@ -67,6 +67,36 @@ object PlanCheck {
     check("sim_knn_brute",
       p5.contains("Broadcast"), "broadcast probe set")
 
+    // 6. exact pair scan: blocked shuffle, NOT a nested-loop cross product
+    // (the round-1 scale-killer this replaced)
+    val p6 = plan("sim_cosine_pairs")(
+      graft.sim.SimOps.cosinePairs(spark, dir))
+    check("sim_cosine_pairs",
+      !p6.contains("BroadcastNestedLoopJoin") && !p6.contains("CartesianProduct"),
+      "no nested-loop/cartesian join in the pair scan")
+
+    // 7. global ranking is two-phase: the data flows through a RANGE
+    // exchange + partition-local window (Ranking.globalRank), never a
+    // single-task all-rows window; per-group top-k windows hash-partition
+    val p7a = plan("rel_pagination_buckets")(
+      graft.rel.Relational.paginationBuckets(spark, dir))
+    check("rel_pagination_buckets",
+      p7a.contains("rangepartitioning"),
+      "range exchange (two-phase global rank)")
+    val p7b = plan("rel_window_top_orders")(
+      graft.rel.Relational.windowTopOrders(spark, dir))
+    check("rel_window_top_orders",
+      p7b.contains("hashpartitioning"), "hash-partitioned window")
+
+    // 8. version time-travel: one hash shuffle on the file key, window
+    // runs partition-local (no global sort before the filter)
+    val p8 = plan("kg_latest_versions") {
+      graft.kg.Versions.latest(graft.kg.KgQueries.versionsTable(spark))
+    }
+    check("kg_latest_versions",
+      p8.contains("Window") && p8.contains("hashpartitioning"),
+      "partition-local window over hash exchange")
+
     println("\n===== RESULT =====")
     if (failures.isEmpty) println("PLAN CHECKS: all passed")
     else { failures.foreach(f => println(s"FAIL $f")); sys.exit(1) }

@@ -34,20 +34,17 @@ object Expressions {
     val in = s.toString.toLowerCase
     val sb = new java.lang.StringBuilder(in.length)
     var i = 0
-    var lastSpace = true // strips leading separators
+    var pendingSpace = false // space runs emit ONE '-', never at the ends
     while (i < in.length) {
       val c = in.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        sb.append(c); lastSpace = false
-      } else if (c == ' ' && !lastSpace) {
-        sb.append('-'); lastSpace = true
-      }
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-') {
+        if (pendingSpace && sb.length > 0) sb.append('-')
+        sb.append(c)
+        pendingSpace = false
+      } else if (c == ' ') pendingSpace = true
       i += 1
     }
-    // trim trailing '-'
-    var end = sb.length
-    while (end > 0 && sb.charAt(end - 1) == '-') end -= 1
-    UTF8String.fromString(sb.substring(0, end))
+    UTF8String.fromString(sb.toString)
   }
 
   /** splitmix64 remix of a base hash for permutation i (same scheme as

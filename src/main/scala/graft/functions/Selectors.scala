@@ -94,6 +94,31 @@ object Selectors {
       "")
   }
 
+  /** relurl (util.py:172-190): relative URL from `start` to `url` — like
+    * os.path.relpath for URLs; cross-domain stays absolute. Plain Scala
+    * (used in render paths, not a hot column). */
+  def relurl(url: String, start: String): String = {
+    def split(u: String): (String, String, String) = {
+      // (scheme://host, path, query+fragment suffix)
+      val m = "^([a-z+.-]+://[^/]*)([^?#]*)(.*)$".r
+      u match {
+        case m(dom, path, rest) => (dom, if (path.isEmpty) "/" else path, rest)
+        case _ => ("", u, "")
+      }
+    }
+    val (ud, up, urest) = split(url)
+    val (sd, sp, _) = split(start)
+    if (ud != sd || ud.isEmpty) url
+    else {
+      val from = sp.split("/").dropRight(1).filter(_.nonEmpty) // dirname
+      val to = up.split("/").filter(_.nonEmpty)
+      val common = from.zip(to).takeWhile { case (a, b) => a == b }.length
+      val ups = Seq.fill(from.length - common)("..")
+      val rel = (ups ++ to.drop(common)).mkString("/")
+      (if (rel.isEmpty) "." else rel) + urest
+    }
+  }
+
   /** RFC century bucket (sources/tech/rfc.py:647-649): "RFC 6998"→"6900". */
   def rfcCenturyBucket(c: Column): Column = {
     val num = regexp_extract(c, "(\\d+)", 1)

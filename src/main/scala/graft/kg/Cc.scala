@@ -27,12 +27,60 @@ import org.apache.spark.sql.functions._
   */
 object Cc {
 
+  /** Below this edge count the graph is solved ON THE DRIVER with
+    * union-find and parallelized back — the same move as Spark's own
+    * broadcast-join threshold. Rationale: the distributed loop costs
+    * O(log d) rounds × ~5 shuffle jobs each, which is pure driver-serial
+    * fixed cost (measured ~6-8 s regardless of cores at alias-graph
+    * sizes), while a million-edge union-find runs in ~100 ms. At
+    * 10^12-file scale the alias graph exceeds the threshold and the
+    * distributed path takes over. Both paths produce IDENTICAL output
+    * (min-string-label per component; asserted equal in CcSpec). */
+  final val LocalEdgeThreshold = 2000000L
+
   /** edges: two string columns (src, dst), undirected. Returns
     * (uri, canon) for every vertex that appears in any edge; vertices not
     * present map to themselves implicitly (rewrite uses left join +
     * coalesce). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+    if (e0.limit((localThreshold + 1).toInt).count() <= localThreshold)
+      localComponents(e0)
+    else distributedComponents(e0, maxIter)
+  }
+
+  /** Driver-side union-find (path-halving + union by attaching to the
+    * lexicographically smaller root so the representative invariant —
+    * min string label — matches the distributed path exactly). */
+  def localComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def id(s: String): Int = idx.getOrElseUpdate(s, { names += s; names.size - 1 })
+    pairs.foreach { case (a, b) => id(a); id(b) }
+    val parent = Array.tabulate(names.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(id(a)), find(id(b)))
+      if (ra != rb) {
+        // attach larger-named root under smaller-named root: the final
+        // root is always the min string of its component
+        if (names(ra) <= names(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    import spark.implicits._
+    val rows = names.indices.map(i => (names(i), names(find(i))))
+    spark.createDataset(rows.toSeq).toDF("uri", "canon")
+  }
+
+  /** Distributed min-label propagation with pointer jumping. */
+  def distributedComponents(e: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetric closure, deduped once up front
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -444,6 +444,62 @@ object Corpus {
   def gen(seed: Long, n: Int): Vector[GenDoc] =
     (0L until n.toLong).map(doc(seed, _, n.toLong)).toVector
 
+  // ----------------------------------------------------- html family
+  /** HTML document i of a mixed corpus whose RFC half has n docs. The
+    * shape exercises the reference's soup-based content extraction
+    * (soup_from_basefile → parse_content_selector "body" →
+    * parse_filter_selectors dropping nav/footer,
+    * documentrepository.py:1222-1249): nav and footer carry
+    * citation-SHAPED text that must produce NO mentions, pre is kept but
+    * masked from the citation scan. Pure function of (seed, i, n). */
+  def htmlDoc(seed: Long, i: Long, n: Long): GenDoc = {
+    val r = new Rng(seed ^ (i * 0xa0761d6478bd642fL) ^ 0x589965cc75374cc3L)
+    val repo = if (r.nextBool(0.3)) megaRepo else s"repo-${r.nextInt(nTailRepos)}"
+    val lang = "en"
+    val graph = s"${EntityDict.base}/dataset/$repo"
+    val stem = s"page-$i"
+    val path = s"site/$stem.html"
+    // must mint identically to HtmlDoc.mintUri (slug on both parts)
+    val uri = s"${EntityDict.base}/doc/${EntityDict.slug(repo)}/${EntityDict.slug(stem)}"
+    val truth = Vector.newBuilder[Triple]
+
+    val title = s"${r.pick(titleWords)} ${r.pick(words).capitalize} Pages"
+    truth += Triple.uri(uri, Vocab.RDF_TYPE, Vocab.rfc("Webdoc"), graph)
+    truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
+
+    val b = new StringBuilder
+    b.append("<html>\n<head><title>").append(title).append("</title></head>\n<body>\n")
+    // nav: citation-shaped but filtered out pre-parse → no ground truth
+    b.append(s"<nav><p>Start | RFC ${rfcNum(r.nextInt(n.toInt))} | ")
+      .append(s"section 9 of RFC ${rfcNum(r.nextInt(n.toInt))}</p></nav>\n")
+    b.append(s"<h1>$title</h1>\n")
+    // intro paragraph: citation attributed to the DOC itself
+    val (it, itgt) = citation(r, 0, n)
+    b.append(s"<p>${sentence(r)} Refer to $it for details.</p>\n")
+    truth += Triple.uri(uri, Vocab.dcterms("references"), itgt, graph)
+
+    val nSections = 1 + r.nextInt(3)
+    for (k <- 1 to nSections) {
+      val st = r.pick(sectionTitles)
+      val secUri = s"$uri#S$k"
+      b.append(s"<h2>$st</h2>\n")
+      truth += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
+      truth += Triple.uri(secUri, Vocab.dcterms("isPartOf"), uri, graph)
+      truth += Triple.lit(secUri, Vocab.dcterms("title"), st, graph, lang = Some("en"))
+      val (ct, ctgt) = citation(r, 0, n)
+      b.append(s"<p>${sentence(r)} As defined by $ct, ${sentence(r).toLowerCase}</p>\n")
+      truth += Triple.uri(secUri, Vocab.dcterms("references"), ctgt, graph)
+      if (r.nextBool(0.5)) // pre kept in the tree but masked from scanning
+        b.append(s"<pre>GET /spec HTTP/1.1\nsee RFC 9999 and RFC 1</pre>\n")
+      if (r.nextBool(0.4))
+        b.append(s"<ul><li>${sentence(r)}</li><li>${sentence(r)}</li></ul>\n")
+    }
+    b.append(s"<footer><p>Archived copy of [RFC${rfcNum(r.nextInt(n.toInt))}]</p></footer>\n")
+    b.append("</body>\n</html>\n")
+    val commit = f"h${(seed ^ i) & 0xffffffffL}%08x"
+    GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
+  }
+
   // ------------------------------------------------- markdown family
   /** Markdown README document i of a mixed corpus whose RFC half has n
     * docs (citations target that RFC space, exercising cross-family

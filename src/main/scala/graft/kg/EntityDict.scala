@@ -17,10 +17,13 @@ object EntityDict {
 
   val base = "https://example.org"
 
-  /** COIN-style slug (coin.py:57-98). */
+  /** COIN-style slug (coin.py:57-98): lowercase, keep [a-z0-9-],
+    * space-runs → '-', everything else dropped. Dashes in the input are
+    * preserved (they are already URL-safe — and the corpus repo/file
+    * names carry them). */
   def slug(label: String): String =
     label.toLowerCase
-      .replaceAll("[^a-z0-9 ]", "")
+      .replaceAll("[^a-z0-9 -]", "")
       .trim
       .replaceAll(" +", "-")
 

@@ -180,16 +180,17 @@ object KgPipeline {
     // needs order-independent stability, and crypto hashing 10^6+ triples
     // per run was a measured fixed cost (input-content sha256 stays
     // cryptographic in the parse lineage, where input_hint requires it)
-    timed("m2_lineage")(KgStages.lineageDf(
-      out.withColumn("sha256", lower(hex(xxhash64(
-        col("subj"), col("pred"), col("obj"), col("graph"))))),
-      "materialize", conf.runId)
-      .write.mode("append").format(fmt).save(path("lineage")))
-
     var tripleCount = 0L
     var mentionCount = 0L
     var linkCount = 0L
+    // lineage-after-triples plus the summary counts are all independent
+    // reads of already-committed tables → one concurrent wave
     inParallel(
+      () => timed("m2_lineage")(KgStages.lineageDf(
+        out.withColumn("sha256", lower(hex(xxhash64(
+          col("subj"), col("pred"), col("obj"), col("graph"))))),
+        "materialize", conf.runId)
+        .write.mode("append").format(fmt).save(path("lineage"))),
       () => { tripleCount = timed("m3_counts")(out.count()) },
       () => { mentionCount = timed("m3_counts")(mentions.count()) },
       () => { linkCount = timed("m3_counts")(read("link_triples").count()) })

@@ -309,6 +309,36 @@ object KgQueries {
       .orderBy("rk")
   }
 
+  /** Boosted multi-field search (fulltextindex.py:260-333: typed fields
+    * with per-field boosts + Between/Less/More range modifiers): term
+    * matches are counted per literal, weighted by field (title ×4,
+    * identifier ×2, other literals ×1), summed per document, then
+    * range-filtered on issued year (the Between modifier). Integer counts
+    * × exact-binary boosts keep the double sum fp-exact for the oracle. */
+  def searchBoosted(spark: SparkSession, dir: String,
+                    term: String = "protocol",
+                    yearFrom: Int = 1995, yearTo: Int = 2020): DataFrame = {
+    val tr = t(ctx(spark))
+    val lo = lower(col("obj"))
+    val cnt = (length(lo) - length(regexp_replace(lo, term, ""))) / term.length
+    val boost = when(col("pred") === Vocab.dcterms("title"), lit(4.0))
+      .when(col("pred") === Vocab.dcterms("identifier"), lit(2.0))
+      .otherwise(lit(1.0))
+    val scored = tr.filter(col("objIsLiteral"))
+      .withColumn("c", cnt).filter(col("c") > 0)
+      .groupBy(col("subj").as("uri"))
+      .agg(round(sum(col("c") * boost), 2).as("score"))
+    val issued = tr.filter(col("pred") === Vocab.dcterms("issued"))
+      .groupBy(col("subj").as("uri"))
+      .agg(min(substring(col("obj"), 1, 4).cast("int")).as("year"))
+    val hits = scored.join(issued, Seq("uri"))
+      .filter(col("year").between(yearFrom, yearTo)) // Between modifier
+    graft.rel.Ranking.globalRank(hits,
+        Seq(col("score").desc, col("uri").asc), "rk")
+      .select("rk", "uri", "score", "year")
+      .orderBy("rk")
+  }
+
   // ------------------------------------------------------ version history
   /** The corpus's version-history table, executor-generated (pure function
     * of (seed, i) — see Corpus.versionsFor). */
@@ -343,6 +373,7 @@ object KgQueries {
     "kg_nt_export" -> ntExport,
     "kg_section_natural_order" -> sectionNaturalOrder,
     "kg_search" -> ((s, d) => search(s, d)),
+    "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_latest_versions" -> latestVersions,
     "kg_asof_versions" -> asofVersions,
   )
@@ -537,6 +568,26 @@ object KgQueries {
          SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, uri, title,
            cast(score AS double) AS score
          FROM ranked""",
+    "kg_search_boosted" ->
+      s"""WITH tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
+         m AS (SELECT subj AS uri,
+             (length(lower(obj)) -
+              length(replace(lower(obj), 'protocol', ''))) / 8 AS c,
+             CASE WHEN pred = '${dct("title")}' THEN 4.0
+                  WHEN pred = '${dct("identifier")}' THEN 2.0
+                  ELSE 1.0 END AS boost
+           FROM tr WHERE objIsLiteral),
+         scored AS (SELECT uri, round(sum(c * boost), 2) AS score
+                    FROM m WHERE c > 0 GROUP BY 1),
+         iss AS (SELECT subj AS uri,
+                   min(cast(substr(obj, 1, 4) AS int)) AS year
+                 FROM tr WHERE pred = '${dct("issued")}' GROUP BY 1),
+         hits AS (SELECT s.uri, s.score, i.year
+                  FROM scored s JOIN iss i USING (uri)
+                  WHERE i.year BETWEEN 1995 AND 2020)
+         SELECT row_number() OVER (ORDER BY score DESC, uri ASC) AS rk,
+           uri, score, year
+         FROM hits""",
     "kg_latest_versions" ->
       """SELECT repo, path, commit, seq, sha256
          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path

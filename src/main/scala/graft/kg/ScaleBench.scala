@@ -3,12 +3,29 @@ import org.apache.spark.sql.SparkSession
 /** Standalone N-vs-4N KG scaling measurement with warm JVM + per-stage
   * timings (used to produce BENCH_SCALING.md evidence). */
 object ScaleBench {
+  /** Per-session tmpfs scratch dir for shuffle/spill files. */
+  private def localDir(): String = {
+    val base = new java.io.File("/dev/shm/graft-local")
+    base.mkdirs()
+    java.nio.file.Files.createTempDirectory(base.toPath, "s").toString
+  }
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder().master(s"local[$cpus]")
       .appName(s"graft-scale-$cpus")
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", (cpus * 3).toString)
+      // FIXED shuffle partition count at every level: with cpus-derived
+      // partitioning the two levels run DIFFERENT plans (different task
+      // and output-file counts) and the comparison measures plan size,
+      // not parallelism. 24 = 6× the widest level's cores.
+      .config("spark.sql.shuffle.partitions", "24")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle/spill files on tmpfs: with >1 thread the default /tmp
+      // (disk) shuffle dir writeback-stalls the materialize stage — the
+      // same disk-noise source BENCH_SCALING.md documents for stage
+      // tables, but on the shuffle path
+      .config("spark.local.dir", localDir())
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

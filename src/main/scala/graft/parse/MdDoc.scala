@@ -157,6 +157,8 @@ object DocParsers {
 
   val registry: Vector[Entry] = Vector(
     Entry("md", _.path.endsWith(".md"), MdDoc.parse),
+    Entry("html", p => p.path.endsWith(".html") || p.path.endsWith(".htm"),
+      HtmlDoc.parse),
     Entry("rfc", _ => true, RfcDoc.parse)) // catch-all, lowest priority
 
   def parse(src: SourceFile): RfcDoc.Parsed =

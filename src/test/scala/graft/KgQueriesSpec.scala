@@ -68,9 +68,13 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("skeleton entities are exactly the external URL targets that are not minted") {
     val sk = KgQueries.skeleton(spark, "").collect().map(_.getString(0))
-    // RFC fragment citations to sections that don't exist in the corpus
-    // are the expected skeleton population (plus nothing else)
-    assert(sk.forall(u => u.contains("#S") || !u.startsWith("https://example.org/rfc/")))
+    // expected skeleton population: section/article fragments that no doc
+    // defines, and external targets (EU celex acts) — never a minted doc
+    assert(sk.forall(u =>
+      u.contains("#S") || u.contains("#A") ||
+        u.contains("/celex/") ||
+        !u.startsWith("https://example.org/rfc/")))
+    assert(sk.exists(_.contains("/celex/"))) // eulaw citations land here
   }
 
   test("canon map folds every alias to the minted /rfc/ URI") {

@@ -85,9 +85,15 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
       val byComp = expected.groupBy(_._2).view
         .mapValues(_.keys.min).toMap
       val want = expected.map { case (v, r) => v -> byComp(r) }
-      val got = Cc.connectedComponents(edges.toDF("src", "dst"))
+      // exercise BOTH implementations: driver union-find fast path and
+      // the distributed min-label loop (localThreshold = 0 forces it)
+      val gotLocal = Cc.connectedComponents(edges.toDF("src", "dst"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(got == want, s"round $round: CC mismatch")
+      val gotDist = Cc.connectedComponents(edges.toDF("src", "dst"),
+          localThreshold = 0)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(gotLocal == want, s"round $round: local CC mismatch")
+      assert(gotDist == want, s"round $round: distributed CC mismatch")
     }
   }
 

@@ -121,4 +121,15 @@ class SelectorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(Selectors.defaultIdentificator(col("v"))).first().getString(0)
     assert(id == "my-facet-value")
   }
+  test("relurl matches the reference's os.path.relpath-for-urls contract") {
+    // doctest cases from util.py:175-178
+    assert(Selectors.relurl("http://example.org/other/index.html",
+      "http://example.org/main/index.html") == "../other/index.html")
+    assert(Selectors.relurl("http://other.org/foo.html",
+      "http://example.org/bar.html") == "http://other.org/foo.html")
+    assert(Selectors.relurl("http://example.org/a/b/c.html",
+      "http://example.org/a/x.html") == "b/c.html")
+    assert(Selectors.relurl("http://example.org/a/x.html#frag",
+      "http://example.org/a/y.html") == "x.html#frag")
+  }
 }
