@@ -76,7 +76,14 @@ object Cc {
     }
     import spark.implicits._
     val rows = names.indices.map(i => (names(i), names(find(i))))
-    spark.createDataset(rows.toSeq).toDF("uri", "canon")
+    // parallelize with explicit slices: a createDataset LocalRelation
+    // ships the WHOLE row set inside every downstream task binary
+    // (observed 7.6 MiB task warnings at n=200k); sliced RDD partitions
+    // ship each task only its share
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.size / 10000 + 1))
+    spark.createDataset(
+      spark.sparkContext.parallelize(rows.toSeq, parts)).toDF("uri", "canon")
   }
 
   /** Distributed min-label propagation with pointer jumping. */

@@ -466,6 +466,7 @@ object Corpus {
     val title = s"${r.pick(titleWords)} ${r.pick(words).capitalize} Pages"
     truth += Triple.uri(uri, Vocab.RDF_TYPE, Vocab.rfc("Webdoc"), graph)
     truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
+    truth += Triple.lit(uri, Vocab.dcterms("identifier"), stem, graph)
 
     val b = new StringBuilder
     b.append("<html>\n<head><title>").append(title).append("</title></head>\n<body>\n")
@@ -518,6 +519,7 @@ object Corpus {
     val title = s"${r.pick(titleWords)} ${r.pick(words).capitalize} Guide"
     truth += Triple.uri(uri, Vocab.RDF_TYPE, Vocab.rfc("Readme"), graph)
     truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
+    truth += Triple.lit(uri, Vocab.dcterms("identifier"), stem, graph)
 
     val body = new StringBuilder
     body.append(s"# $title\n\n")

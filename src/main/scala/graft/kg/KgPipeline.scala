@@ -200,6 +200,22 @@ object KgPipeline {
       linkCount, (System.nanoTime() - t0) / 1e9, stageSec.toMap)
   }
 
+  /** Mixed-family input: n RFC text files plus n/4 markdown READMEs plus
+    * n/4 HTML pages — DocParsers path dispatch (first-wins composite
+    * semantics) runs inside the driver-verified pipeline, not only in
+    * family specs. Executor-generated like synthesizeInput. */
+  def synthesizeMixedInput(spark: SparkSession, n: Long,
+                           seed: Long): Dataset[SourceFile] = {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val rfc = spark.range(0, n, 1, par * 8).map(i => Corpus.doc(seed, i, n).src)
+    val md = spark.range(0, n / 4, 1, par)
+      .map(i => Corpus.mdDoc(seed, i, n).src)
+    val html = spark.range(0, n / 4, 1, par)
+      .map(i => Corpus.htmlDoc(seed, i, n).src)
+    rfc.union(md).union(html)
+  }
+
   /** Curated sameAs edges, generated ON EXECUTORS (pure function of the
     * index, like synthesizeInput — a driver-side Vector contradicts the
     * 10^12-file scale argument and shipped 1.3 MiB tasks in round 1). */

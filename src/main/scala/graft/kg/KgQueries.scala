@@ -25,6 +25,8 @@ import org.apache.spark.sql.expressions.Window
 object KgQueries {
 
   final val N = 150L
+  /** ctx corpus size across all three families (N rfc + N/4 md + N/4 html). */
+  final val MixedN = N + 2 * (N / 4)
   final val Seed = 42L
 
   /** One pipeline execution per SparkSession, shared across queries
@@ -42,7 +44,7 @@ object KgQueries {
 
   def ctx(spark: SparkSession): Ctx =
     cache.computeIfAbsent(spark, { s =>
-      val input = KgPipeline.synthesizeInput(s, N, Seed)
+      val input = KgPipeline.synthesizeMixedInput(s, N, Seed)
       val parsed = KgStages.parseStage(input).persist()
       val docs = KgStages.docsDf(parsed)
       val docTriples0 = KgStages.docTriplesDf(parsed)

@@ -101,6 +101,8 @@ object HtmlDoc {
     triples += Triple.uri(uri, Vocab.RDF_TYPE, WebdocType, graph)
     triples += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
       lang = Some("en"))
+    triples += Triple.lit(uri, Vocab.dcterms("identifier"),
+      src.path.replaceAll("^.*/", "").replaceAll("\\.html?$", ""), graph)
 
     def scanText(t: String, subjUri: String): Unit =
       CitationParser.scanWithUrls(t, grammars).foreach { c =>

@@ -107,6 +107,8 @@ object MdDoc {
     triples += Triple.lit(uri, Vocab.PROV + "wasGeneratedBy", "graft.parse.MdDoc", graph)
     triples += Triple.uri(uri, Vocab.RDF_TYPE, ReadmeType, graph)
     triples += Triple.lit(uri, Vocab.dcterms("title"), title, graph, lang = Some("en"))
+    triples += Triple.lit(uri, Vocab.dcterms("identifier"),
+      src.path.replaceAll("^.*/", "").replaceAll("\\.md$", ""), graph)
     def walk(n: TreeNode, parentUri: String): Unit =
       n.children.foreach { c =>
         if (c.tag == "Section") {

@@ -37,6 +37,29 @@ object TextOps {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("lang")
 
+  /** GPT-2-style pre-tokenizer pattern (public BPE pre-split rule),
+    * ASCII-restricted so the Java and RE2 regex engines agree: English
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs. Token COUNT under this split is the standard proxy for "BPE
+    * tokens" when no merges table ships with the engine. */
+  final val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** Per-language BPE-ish vs whitespace token accounting — the number a
+    * training-data pipeline budgets with. */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe"),
+        size(tokensCol).as("n_ws"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        round(sum(col("n_bpe")) / sum(col("n_ws")), 4).as("bpe_per_ws"))
+      .orderBy("lang")
+
   /** Per-document quality signals: token count, stopword ratio, mean token
     * length, punctuation count — the usual pre-training corpus filters. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -359,6 +382,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> tokenStats,
+    "text_bpe_tokens" -> bpeTokenStats,
     "text_quality" -> qualityScore,
     "text_lang_id" -> langId,
     "text_exact_dedup" -> exactDedup,
@@ -400,6 +424,17 @@ object TextOps {
                len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          ORDER BY doc_a, doc_b"""
     Map(
+      "text_bpe_tokens" ->
+        ("""WITH t AS (SELECT lang,
+             len(regexp_extract_all(text,
+               '""" + "''" + """(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe,
+             len(regexp_extract_all(trim(text), '\S+')) AS n_ws
+           FROM documents)
+           SELECT lang, count(*) AS n_docs,
+             cast(sum(n_bpe) AS bigint) AS total_bpe_tokens,
+             cast(sum(n_ws) AS bigint) AS total_ws_tokens,
+             round(sum(n_bpe)::DOUBLE / sum(n_ws), 4) AS bpe_per_ws
+           FROM t GROUP BY 1 ORDER BY 1"""),
       "text_token_stats" ->
         """SELECT lang, count(*) AS n_docs,
            cast(sum(len(regexp_extract_all(trim(text), '\S+'))) AS bigint)

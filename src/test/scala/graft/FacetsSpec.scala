@@ -22,11 +22,13 @@ class FacetsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("facetedData: one row per typed doc, facet columns populated") {
     val tr = KgQueries.ctx(spark).triples
     val fd = Facets.facetedData(tr, Facets.defaultFacets)
-    assert(fd.count() == KgQueries.N)
+    assert(fd.count() == KgQueries.MixedN)
     assert(fd.filter(col("title").isNull).count() == 0)
-    assert(fd.filter(col("issued").isNull).count() == 0)
-    // issued selector gives a 4-digit year
-    val years = fd.select(substring(col("issued"), 1, 4)).distinct()
+    // issued exists only on the RFC family (md/html carry no date header)
+    assert(fd.filter(col("issued").isNull).count() == KgQueries.MixedN - KgQueries.N)
+    // issued selector gives a 4-digit year (null on non-RFC families)
+    val years = fd.filter(col("issued").isNotNull)
+      .select(substring(col("issued"), 1, 4)).distinct()
       .collect().map(_.getString(0))
     assert(years.forall(_.matches("\\d{4}")))
   }
@@ -39,6 +41,7 @@ class FacetsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byFacet = toc.groupBy(_.getString(0))
     // every toc facet's page doc-counts sum to the corpus size
     Seq("publisher", "issued", "category").foreach { f =>
+      // publisher/issued/category facets exist only on the RFC family
       assert(byFacet(f).map(_.getLong(2)).sum == KgQueries.N, f)
     }
     // identificators follow the reference's defaultidentificator contract

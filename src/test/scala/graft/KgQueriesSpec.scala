@@ -33,7 +33,7 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("facet pivot: one row per typed doc, publisher is a URI after linking") {
     val fac = KgQueries.facetPivot(spark, "")
     val n = fac.count()
-    assert(n == KgQueries.N) // every generated doc is typed rfc:*
+    assert(n == KgQueries.MixedN) // every family's doc is typed rfc:*
     assert(fac.filter(col("uri").isNull || col("title").isNull).count() == 0)
     // all corpus publishers resolve (exact or fuzzy) to minted org URIs
     val unresolved = fac.filter(!col("publisher").startsWith("https://example.org/org/"))
