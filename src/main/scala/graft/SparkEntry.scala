@@ -12,7 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.rel.Relational.queries ++ graft.kg.KgQueries.queries ++
       graft.text.TextOps.queries ++ graft.sim.SimOps.queries ++
-      graft.mm.MultiModal.queries
+      graft.mm.MultiModal.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB. Queries
     * over sfDir tables reference the driver-registered views directly;
@@ -22,7 +22,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.rel.Relational.oracleSql ++ graft.text.TextOps.oracleSql ++
       graft.sim.SimOps.oracleSql ++ graft.kg.KgQueries.oracleSql ++
-      graft.mm.MultiModal.oracleSql
+      graft.mm.MultiModal.oracleSql ++ graft.streaming.StreamOps.oracleSql
 
   /** Engine-internal tables dumped by graft.Verify under outDir/_base as
     * oracle inputs (stage tables, signature tables, version history). */

@@ -20,6 +20,7 @@ object ScaleBench {
       // not parallelism. 24 = 6× the widest level's cores.
       .config("spark.sql.shuffle.partitions", "24")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       // shuffle/spill files on tmpfs: with >1 thread the default /tmp
       // (disk) shuffle dir writeback-stalls the materialize stage — the
@@ -44,9 +45,14 @@ object ScaleBench {
       val wd = java.nio.file.Files.createTempDirectory(base.toPath, s"c$cpus").toString
       KgPipeline.runSynthetic(s, KgPipeline.Conf(workDir = wd + "w",
         n = math.max(1000, n / 8), seed = 42L, runId = "warm"))
+      // input materialized untimed (see graft.Bench.kgRun)
+      import s.implicits._
+      KgPipeline.synthesizeInput(s, n, 42L).write.parquet(wd + "in")
+      val input = s.read.parquet(wd + "in").as[graft.model.SourceFile]
       val meter = ConcurrencyMeter.attach(s.sparkContext)
-      val r = KgPipeline.runSynthetic(s, KgPipeline.Conf(workDir = wd,
-        n = n, seed = 42L, runId = "meas"))
+      val r = KgPipeline.run(s, KgPipeline.Conf(workDir = wd,
+        n = n, seed = 42L, runId = "meas"), input,
+        KgPipeline.sameAsEdges(s, n), KgPipeline.curatedTriples(s, n))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd + "w"))
       println(f"cpus=$cpus n=$n triples=${r.tripleCount} sec=${r.durationSec}%.2f tps=${r.triplesPerSec}%.0f busy=${meter.taskSec / r.durationSec}%.1f cpu=${meter.cpuSec / r.durationSec}%.1f")

@@ -102,4 +102,48 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  // ------------------------------------------------- driver-verified query
+  private val memCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The streaming==batch equivalence, driver-verified: the events table
+    * read as a FILE STREAM (AvailableNow — process the backlog, stop),
+    * windowed-aggregated with the same operator the live pipeline uses,
+    * collected via a memory sink. The DuckDB oracle is the plain BATCH
+    * aggregation — tumbling 1h windows are epoch-aligned, so
+    * window('1 hour').start ≡ date_trunc('hour', ts). */
+  def streamEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    // the file stream source wants a DIRECTORY of arriving files; the
+    // testdata table is a single file — stage it into one (a real feed
+    // would be the landing directory itself)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val agg = windowedEventCounts(stream)
+    val name = s"stream_events_${memCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()) // emit every window at stop
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select("window_start", "event_type", "n")
+      .orderBy("window_start", "event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_event_counts" -> streamEventCounts,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_event_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n
+         FROM events GROUP BY 1, 2""",
+  )
 }
