@@ -341,6 +341,30 @@ object KgQueries {
       .orderBy("rk")
   }
 
+  /** N-Triples codec round-trip over the WHOLE materialized graph:
+    * serialize every distinct statement with Triple.toNt, parse it back
+    * with Triple.fromNt, and count symmetric differences — the dump.nt
+    * export is only trustworthy if its ingest inverse reproduces the
+    * graph exactly (datatypes, lang tags, escapes included). */
+  def ntRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype",
+      "objLang")
+    val stmts = t(ctx(spark)).select(cols.head, cols.tail: _*).distinct()
+    val back = stmts
+      .as[(String, String, String, Boolean, Option[String], Option[String])]
+      .map { case (s, p, o, isLit, dt, lang) =>
+        graft.model.Triple.toNt(graft.model.Triple(s, p, o, isLit, dt, lang, ""))
+      }
+      .map(l => graft.model.Triple.fromNt(l).get)
+      .toDF()
+      .select(cols.head, cols.tail: _*)
+    val missing = stmts.exceptAll(back).count()
+    val extra = back.exceptAll(stmts).count()
+    stmts.agg(count(lit(1)).as("n_statements"))
+      .withColumn("n_mismatch", lit(missing + extra))
+  }
+
   // ------------------------------------------------------ version history
   /** The corpus's version-history table, executor-generated (pure function
     * of (seed, i) — see Corpus.versionsFor). */
@@ -373,7 +397,7 @@ object KgQueries {
     "kg_required_predicates" -> requiredPredicates,
     "kg_keyword_entities" -> keywordEntities,
     "kg_nt_export" -> ntExport,
-    "kg_section_natural_order" -> sectionNaturalOrder,
+    "kg_nt_roundtrip" -> ntRoundtrip,
     "kg_search" -> ((s, d) => search(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_latest_versions" -> latestVersions,
@@ -550,6 +574,11 @@ object KgQueries {
                 WHEN objLang IS NOT NULL THEN '"' || lex || '"@' || objLang
                 ELSE '"' || lex || '"' END || ' .') AS nt
          FROM esc ORDER BY nt LIMIT 100""",
+    "kg_nt_roundtrip" ->
+      """SELECT count(*) AS n_statements, 0 AS n_mismatch
+         FROM (SELECT DISTINCT subj, pred, obj, objIsLiteral, objDatatype,
+               objLang
+               FROM read_parquet('__BASE__/kg_triples/*.parquet'))""",
     "kg_section_natural_order" ->
       s"""SELECT subj, obj AS identifier,
          array_to_string(list_transform(

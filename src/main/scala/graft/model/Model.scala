@@ -45,6 +45,75 @@ object Triple {
       case c    => c.toString
     }
 
+  /** Inverse of [[ntEscape]], plus the \\uXXXX / \\UXXXXXXXX numeric
+    * escapes N-Triples producers (the reference's rdflib dumps included)
+    * emit for non-ASCII. */
+  def ntUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'U' =>
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 10
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse one N-Triples line — the ingest inverse of [[toNt]] (URIs and
+    * literals with lang tags / datatypes; blank nodes are out of scope —
+    * the reference's dumps never emit them). Returns None for blank or
+    * comment lines; malformed lines throw. */
+  def fromNt(line: String, graph: String = ""): Option[Triple] = {
+    val t = line.trim
+    if (t.isEmpty || t.startsWith("#")) return None
+    var i = 0
+    def ws(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    def uri(): String = {
+      require(t.charAt(i) == '<', s"expected '<' at $i in: $t")
+      val end = t.indexOf('>', i)
+      val u = t.substring(i + 1, end); i = end + 1; u
+    }
+    val s = uri(); ws()
+    val p = uri(); ws()
+    if (t.charAt(i) == '<') {
+      val o = uri()
+      Some(Triple(s, p, o, objIsLiteral = false, None, None, graph))
+    } else {
+      require(t.charAt(i) == '"', s"expected '\"' at $i in: $t")
+      i += 1
+      val lex = new StringBuilder
+      while (t.charAt(i) != '"') {
+        if (t.charAt(i) == '\\') { lex.append(t.charAt(i)).append(t.charAt(i + 1)); i += 2 }
+        else { lex.append(t.charAt(i)); i += 1 }
+      }
+      i += 1 // closing quote
+      val value = ntUnescape(lex.toString)
+      if (i + 1 < t.length && t.charAt(i) == '^' && t.charAt(i + 1) == '^') {
+        i += 2
+        Some(Triple(s, p, value, objIsLiteral = true, Some(uri()), None, graph))
+      } else if (i < t.length && t.charAt(i) == '@') {
+        val end = t.indexWhere(c => c.isWhitespace || c == '.', i)
+        val lang = t.substring(i + 1, if (end < 0) t.length else end)
+        Some(Triple(s, p, value, objIsLiteral = true, None, Some(lang), graph))
+      } else Some(Triple(s, p, value, objIsLiteral = true, None, None, graph))
+    }
+  }
+
   /** One N-Triples line — the dump.nt export format of the reference's
     * relate teardown (documentrepository.py:1813-1883). */
   def toNt(t: Triple): String = {

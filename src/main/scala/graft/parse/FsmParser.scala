@@ -54,7 +54,13 @@ object FsmParser {
       recognizers: Vector[Recognizer],
       transitions: Map[(String, String), Transition],
       initialState: String,
-      initialConstructor: Constructor)
+      initialConstructor: Constructor,
+      /** Callable transitions (the reference allows a transition VALUE to
+        * be a function of (symbol, state_stack) — fsmparser.py:154-168,
+        * used for context-dependent choices like "sublist or return to
+        * parent list"). Looked up before `transitions`. */
+      dynamicTransitions: Map[(String, String), FsmParser => Transition] =
+        Map.empty)
 }
 
 final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
@@ -62,6 +68,9 @@ final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
 
   val reader = new Peekable(chunks)
   private val stateStack = mutable.Stack[String](cfg.initialState)
+
+  /** Current state stack, innermost first (for dynamic transitions). */
+  def states: Seq[String] = stateStack.toSeq
 
   def parse(): TreeNode =
     cfg.initialConstructor.build(this)
@@ -71,7 +80,8 @@ final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
     if (reader.peekOpt().isEmpty) return None
     val state = stateStack.top
     val applicable = cfg.recognizers.filter(r =>
-      cfg.transitions.contains((state, r.name)))
+      cfg.transitions.contains((state, r.name)) ||
+        cfg.dynamicTransitions.contains((state, r.name)))
     applicable.find(_.matches(this)) match {
       case some @ Some(_) => some
       case None =>
@@ -101,7 +111,9 @@ final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
         case None => return acc // input exhausted
         case Some(r) => r
       }
-      val tr = cfg.transitions((stateStack.top, symbol.name))
+      val key = (stateStack.top, symbol.name)
+      val tr = cfg.dynamicTransitions.get(key)
+        .map(_(this)).getOrElse(cfg.transitions(key))
       // a transition with a state but a plain (non-pushing) constructor
       // rewrites the top of the stack in place
       tr.newState.foreach { ns =>

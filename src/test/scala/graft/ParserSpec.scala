@@ -112,4 +112,24 @@ class ParserSpec extends AnyFunSuite {
       "Europaparlamentets och rådets direktiv 02/58/EG av den 12 juli 2002", g)
     assert(c4.head.candidateUri == s"$base/celex/32002L0058")
   }
+  test("golden: reference url citation fixtures (span boundaries + parts)") {
+    val udir = new java.io.File("/root/reference/test/files/citation/url")
+    assume(udir.isDirectory)
+    def uread(f: String): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(udir.getPath, f)), "UTF-8")
+    val urlBlock = """(?s)<url>(.*?)</url>""".r
+    val part = """<(\w+)>([^<]*)</\1>""".r
+    for (stem <- Seq("basic", "multiple", "query-and-fragment", "running")) {
+      val expected = urlBlock.findAllMatchIn(uread(s"$stem.result")).map { m =>
+        val ps = part.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2)).toMap
+        ps("scheme") + "://" + ps("netloc") + ps.getOrElse("path", "") +
+          ps.get("query").map("?" + _).getOrElse("") +
+          ps.get("fragment").map("#" + _).getOrElse("")
+      }.toVector
+      val got = CitationParser.scanWithUrls(uread(s"$stem.txt").trim, Seq.empty)
+        .map(_.matchText).toVector
+      assert(got == expected, s"$stem: $got vs $expected")
+    }
+  }
 }
