@@ -395,6 +395,7 @@ object KgQueries {
     "kg_news_feeds" -> newsFeeds,
     "kg_lineage" -> lineage,
     "kg_required_predicates" -> requiredPredicates,
+    "kg_section_natural_order" -> sectionNaturalOrder,
     "kg_keyword_entities" -> keywordEntities,
     "kg_nt_export" -> ntExport,
     "kg_nt_roundtrip" -> ntRoundtrip,

@@ -45,6 +45,58 @@ object KgStages {
       error: Option[String],
       durMs: Long)
 
+  // ---------------------------------------------------------- patch stage
+  /** patch_if_needed output row: the (possibly patched) source plus the
+    * patch description / conflict error, which feed the lineage axis
+    * exactly like parse errors do (the reference records PatchError per
+    * document via managedparsing). */
+  final case class PatchedFile(
+      repo: String, path: String, commit: String, lang: String,
+      content: String,
+      patchDesc: Option[String],
+      patchError: Option[String]) {
+    def toSourceFile: SourceFile = SourceFile(repo, path, commit, lang, content)
+  }
+
+  /** patch_if_needed (documentrepository.py:1355-1404): rows with an entry
+    * in the patch table get the unified diff applied BEFORE parsing; the
+    * hunk comment (or the table's desc column) becomes the patch
+    * description. Patch conflicts are captured per row, never thrown —
+    * the poison-row rule. The patch table is a broadcast dim (patches are
+    * curated by humans; they never approach corpus scale). Expected
+    * columns: repo, path, patch, desc (nullable). */
+  def patchStage(input: Dataset[SourceFile],
+                 patches: DataFrame): Dataset[PatchedFile] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val p = patches.select(col("repo").as("_prepo"), col("path").as("_ppath"),
+      col("patch").as("_patch"), col("desc").as("_pdesc"))
+    input.toDF()
+      .join(broadcast(p),
+        col("repo") === col("_prepo") && col("path") === col("_ppath"),
+        "left")
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("content"), col("_patch"), col("_pdesc"))
+      .as[(String, String, String, String, String, Option[String], Option[String])]
+      .map { case (repo, path, commit, lang, content, patch, tableDesc) =>
+        patch match {
+          case None =>
+            PatchedFile(repo, path, commit, lang, content, None, None)
+          case Some(pt) =>
+            try {
+              val (patched, hunkDesc) = graft.parse.Patch.apply(content, pt)
+              PatchedFile(repo, path, commit, lang, patched,
+                hunkDesc.orElse(tableDesc)
+                  .orElse(Some("(No patch description available)")), None)
+            } catch {
+              case e: graft.parse.Patch.PatchConflict =>
+                PatchedFile(repo, path, commit, lang, content,
+                  None, Some(e.getMessage))
+            }
+        }
+      }
+  }
+
   // ------------------------------------------------------------- stage P
   def parseStage(input: Dataset[SourceFile]): Dataset[ParseOut] = {
     val spark = input.sparkSession

@@ -1,0 +1,100 @@
+package graft.parse
+
+/** Unified-diff patch engine — the role of the reference's vendored
+  * patchit (thirdparty/patchit.py) under patch_if_needed
+  * (/root/reference/ferenda/documentrepository.py:1355-1404): parse a
+  * single-file unified diff, apply it to the document text with small-
+  * offset adjustment (patchit's `adjust`), carry the hunk comment as the
+  * patch description. Pure per-row Scala: the pipeline broadcast-joins a
+  * patch table and runs this inside the parse stage.
+  */
+object Patch {
+
+  final case class Hunk(
+      srcStart: Int, // 1-based, as in the @@ header
+      srcLen: Int,
+      dstStart: Int,
+      dstLen: Int,
+      comment: Option[String],
+      lines: Vector[String]) // raw body lines with ' ', '-', '+' prefixes
+
+  final case class PatchConflict(msg: String) extends RuntimeException(msg)
+
+  private val HunkHeader =
+    """@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@ ?(.*)""".r
+
+  /** Parse a single-file unified diff (---/+++ file headers optional and
+    * skipped; the reference asserts exactly one file per patch). */
+  def parse(patchText: String): Vector[Hunk] = {
+    val out = Vector.newBuilder[Hunk]
+    var current: Option[(Int, Int, Int, Int, Option[String])] = None
+    var body = Vector.newBuilder[String]
+    def flush(): Unit = current.foreach { case (a, b, c, d, cm) =>
+      out += Hunk(a, b, c, d, cm, body.result())
+    }
+    patchText.linesIterator.foreach {
+      case HunkHeader(a, b, c, d, cm) =>
+        flush()
+        current = Some((a.toInt, Option(b).map(_.toInt).getOrElse(1),
+          c.toInt, Option(d).map(_.toInt).getOrElse(1),
+          Option(cm).map(_.trim).filter(_.nonEmpty)))
+        body = Vector.newBuilder[String]
+      case l if l.startsWith("---") || l.startsWith("+++") ||
+                l.startsWith("diff ") || l.startsWith("index ") => ()
+      case l if current.isDefined &&
+                (l.startsWith(" ") || l.startsWith("-") || l.startsWith("+") ||
+                 l.isEmpty) =>
+        body += (if (l.isEmpty) " " else l) // empty = blank context line
+      case _ => ()
+    }
+    flush()
+    val hunks = out.result()
+    if (hunks.isEmpty) throw PatchConflict("no hunks in patch")
+    hunks
+  }
+
+  /** Does `hunk` apply at 0-based source position `pos`? */
+  private def matchesAt(src: IndexedSeq[String], hunk: Hunk, pos: Int): Boolean = {
+    var i = pos
+    hunk.lines.forall { l =>
+      if (l.startsWith("+")) true
+      else {
+        val ok = i < src.length && src(i) == l.substring(1)
+        i += 1
+        ok
+      }
+    }
+  }
+
+  /** Apply the patch; context mismatches probe nearby offsets (0, ±1 …
+    * ±`fuzz`) before conflicting — patchit's adjust semantics. Returns
+    * (patched text, description from the first hunk comment). */
+  def apply(text: String, patchText: String,
+            fuzz: Int = 50): (String, Option[String]) = {
+    val hunks = parse(patchText)
+    val src = text.split("\n", -1).toIndexedSeq
+    val out = Vector.newBuilder[String]
+    var srcPos = 0 // 0-based cursor into src
+    var drift = 0  // accumulated offset of earlier adjustments
+    hunks.foreach { h =>
+      val want = h.srcStart - 1 + drift
+      val offsets = 0 +: (1 to fuzz).flatMap(k => Seq(-k, k))
+      val found = offsets.map(want + _)
+        .find(p => p >= srcPos && matchesAt(src, h, p))
+        .getOrElse(throw PatchConflict(
+          s"hunk @@ -${h.srcStart} does not apply (within ±$fuzz lines)"))
+      drift += found - (h.srcStart - 1 + drift)
+      // copy unchanged region before the hunk
+      while (srcPos < found) { out += src(srcPos); srcPos += 1 }
+      h.lines.foreach { l =>
+        l.charAt(0) match {
+          case ' ' => out += src(srcPos); srcPos += 1
+          case '-' => srcPos += 1
+          case '+' => out += l.substring(1)
+        }
+      }
+    }
+    while (srcPos < src.length) { out += src(srcPos); srcPos += 1 }
+    (out.result().mkString("\n"), hunks.head.comment)
+  }
+}

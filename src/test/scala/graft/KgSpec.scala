@@ -236,4 +236,42 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r.getAs[String]("pred") == Vocab.dcterms("title") &&
       r.getAs[Boolean]("objIsLiteral")))
   }
+  test("patch_if_needed: unified diff applied before parse, desc carried, conflicts captured") {
+    import spark.implicits._
+    val d = Corpus.doc(42L, 3L, 10L)
+    // craft a patch against the real document: retitle its first section
+    val lines = d.src.content.split("\n", -1)
+    val idx = lines.indexWhere(_.startsWith("1.  "))
+    assert(idx >= 0)
+    val patch =
+      s"""@@ -${idx + 1},1 +${idx + 1},1 @@ retitle section 1
+         |-${lines(idx)}
+         |+1.  Patched Heading
+         |""".stripMargin
+    val patches = Seq(
+      (d.src.repo, d.src.path, patch, null: String),
+      ("no-such-repo", "x", patch, null: String)).toDF("repo", "path", "patch", "desc")
+    val out = KgStages.patchStage(
+      spark.createDataset(Seq(d.src)), patches).collect()
+    assert(out.length == 1)
+    assert(out.head.patchError.isEmpty)
+    assert(out.head.patchDesc.contains("retitle section 1"))
+    val parsed = graft.parse.DocParsers.parse(out.head.toSourceFile)
+    assert(parsed.triples.exists(t =>
+      t.pred == graft.model.Vocab.dcterms("title") && t.obj == "Patched Heading"))
+    // fuzz: patch written against a shifted line number still applies
+    val shifted = patch.replaceFirst(s"@@ -${idx + 1},1 \\+${idx + 1},1",
+      s"@@ -${idx - 3},1 +${idx - 3},1")
+    val out2 = KgStages.patchStage(spark.createDataset(Seq(d.src)),
+      Seq((d.src.repo, d.src.path, shifted, null: String))
+        .toDF("repo", "path", "patch", "desc")).collect()
+    assert(out2.head.patchError.isEmpty && out2.head.content.contains("Patched Heading"))
+    // conflict: context that matches nowhere is captured, not thrown
+    val bad = "@@ -1,1 +1,1 @@ bad\n-THIS LINE DOES NOT EXIST ANYWHERE\n+x\n"
+    val out3 = KgStages.patchStage(spark.createDataset(Seq(d.src)),
+      Seq((d.src.repo, d.src.path, bad, null: String))
+        .toDF("repo", "path", "patch", "desc")).collect()
+    assert(out3.head.patchError.isDefined)
+    assert(out3.head.content == d.src.content) // original text untouched
+  }
 }
