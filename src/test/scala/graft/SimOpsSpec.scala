@@ -105,4 +105,40 @@ class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = g.flatMap(_.getString(2).split(",").map(_.toLong))
     assert(all.distinct.length == all.length)
   }
+  test("ANN on CLUSTERED embeddings: recall at realistic similarity levels") {
+    // synthetic clustered corpus: 20 well-separated centers, 25 members
+    // each with small noise — within-cluster cosine ~0.95+, the regime a
+    // real embedding corpus lives in (the sf testdata is near-random,
+    // where the 0.5/0.4 recall floors apply)
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 25
+    } yield {
+      val v = centers(c).map(x => (x + 0.12 * rng.nextGaussian()).toFloat)
+      (c * 25L + m, v.toSeq, c)
+    }
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val brute = knnSet(SimOps.knnBrute(spark, tmp))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val ann = knnSet(df)
+      val rs = brute.keys.toSeq.map { p =>
+        val b = brute(p).toSet
+        ann.getOrElse(p, Seq.empty).count(b.contains).toDouble / b.size
+      }
+      rs.sum / rs.size
+    }
+    val lsh = recallOf(SimOps.lshKnn(spark, tmp))
+    val ivf = recallOf(SimOps.ivfKnn(spark, tmp))
+    info(f"clustered recall@5: lsh=$lsh%.3f ivf=$ivf%.3f")
+    assert(lsh >= 0.9, f"LSH clustered recall $lsh%.3f")
+    assert(ivf >= 0.8, f"IVF clustered recall $ivf%.3f")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }
