@@ -80,8 +80,9 @@ object Cc {
     // ships the WHOLE row set inside every downstream task binary
     // (observed 7.6 MiB task warnings at n=200k); sliced RDD partitions
     // ship each task only its share
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.size / 10000 + 1))
+    // slice by SIZE, not core count: clamping to defaultParallelism put
+    // the whole row set into one task at local[1] (3 MiB task warnings)
+    val parts = math.max(1, math.min(256, rows.size / 5000 + 1))
     spark.createDataset(
       spark.sparkContext.parallelize(rows.toSeq, parts)).toDF("uri", "canon")
   }
