@@ -113,27 +113,63 @@ object KgQueries {
     * iterative self-join (SURVEY.md §2.7), looped TO CONVERGENCE on the
     * emptiness check (a fixed depth bound silently truncates deep part
     * trees — VERDICT r1 #6); maxIter is a runaway guard only. */
-  def annotations(spark: SparkSession, dir: String): DataFrame = {
-    val tr = t(ctx(spark)).persist()
-    // isPartOf closure: section -> every ancestor
-    val part = tr.filter(col("pred") === Vocab.dcterms("isPartOf"))
-      .select(col("subj").as("child"), col("obj").as("parent"))
-      .localCheckpoint() // fixpoint loop below re-reads this many times
-    var closure = part
-    var next = closure.as("a")
-      .join(part.as("b"), col("a.parent") === col("b.child"))
-      .select(col("a.child").as("child"), col("b.parent").as("parent"))
-      .localCheckpoint()
-    var rounds = 0
-    val maxIter = 64
-    while (rounds < maxIter && next.limit(1).count() > 0) {
-      closure = closure.unionByName(next).distinct().localCheckpoint()
-      next = next.as("a")
+  /** Edge count under which the isPartOf closure is computed on the
+    * driver (same size-gated move as Cc.LocalEdgeThreshold: the iterative
+    * loop is ~5 driver-serial jobs per round — pure fixed cost on a
+    * part-of forest that is tiny relative to the corpus; above threshold
+    * the distributed fixpoint below takes over unchanged). */
+  final val ClosureLocalThreshold = 2000000L
+
+  /** Transitive closure of (child, parent) edges. */
+  def partClosure(part: DataFrame,
+                  localThreshold: Long = ClosureLocalThreshold): DataFrame = {
+    val spark = part.sparkSession
+    if (part.limit((localThreshold + 1).toInt).count() <= localThreshold) {
+      import spark.implicits._
+      val edges = part.as[(String, String)].collect()
+      val up = edges.groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+      val out = Vector.newBuilder[(String, String)]
+      edges.map(_._1).distinct.foreach { child =>
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var frontier = up.getOrElse(child, Vector.empty)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap { p =>
+            if (seen.add(p)) { out += ((child, p)); up.getOrElse(p, Vector.empty) }
+            else Vector.empty
+          }
+        }
+      }
+      val rows = out.result()
+      val parts = math.max(1, math.min(256, rows.size / 5000 + 1))
+      spark.createDataset(
+        spark.sparkContext.parallelize(rows, parts)).toDF("child", "parent")
+    } else {
+      var closure = part
+      var next = closure.as("a")
         .join(part.as("b"), col("a.parent") === col("b.child"))
         .select(col("a.child").as("child"), col("b.parent").as("parent"))
         .localCheckpoint()
-      rounds += 1
+      var rounds = 0
+      val maxIter = 64
+      while (rounds < maxIter && next.limit(1).count() > 0) {
+        closure = closure.unionByName(next).distinct().localCheckpoint()
+        next = next.as("a")
+          .join(part.as("b"), col("a.parent") === col("b.child"))
+          .select(col("a.child").as("child"), col("b.parent").as("parent"))
+          .localCheckpoint()
+        rounds += 1
+      }
+      closure
     }
+  }
+
+  def annotations(spark: SparkSession, dir: String): DataFrame = {
+    val tr = t(ctx(spark)).persist()
+    // isPartOf closure: section -> every ancestor, to convergence
+    val part = tr.filter(col("pred") === Vocab.dcterms("isPartOf"))
+      .select(col("subj").as("child"), col("obj").as("parent"))
+      .localCheckpoint() // closure + roots below re-read this
+    val closure = partClosure(part)
     val roots = closure.join(
       part.select(col("parent").as("p")).distinct()
         .join(part.select(col("child").as("p")).distinct(), Seq("p"), "left_semi"),

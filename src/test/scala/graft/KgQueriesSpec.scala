@@ -94,4 +94,16 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(dates == dates.sorted(Ordering[String].reverse))
     }
   }
+  test("isPartOf closure: driver fast path equals the distributed fixpoint") {
+    import org.apache.spark.sql.functions.col
+    val part = KgQueries.ctx(spark).triples
+      .filter(col("pred") === graft.model.Vocab.dcterms("isPartOf"))
+      .select(col("subj").as("child"), col("obj").as("parent"))
+    val local = KgQueries.partClosure(part).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dist = KgQueries.partClosure(part, localThreshold = 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
 }
