@@ -106,13 +106,6 @@ object KgQueries {
       .orderBy("dimension", "value")
   }
 
-  /** Annotations CONSTRUCT (rfc-annotations.rq:1-39): for every document,
-    * the incoming dcterms:references edges (who cites me), incoming
-    * rfc:updates / rfc:obsoletes, and the transitive dcterms:isPartOf*
-    * closure of the citing sections — the property-path fixpoint done as an
-    * iterative self-join (SURVEY.md §2.7), looped TO CONVERGENCE on the
-    * emptiness check (a fixed depth bound silently truncates deep part
-    * trees — VERDICT r1 #6); maxIter is a runaway guard only. */
   /** Edge count under which the isPartOf closure is computed on the
     * driver (same size-gated move as Cc.LocalEdgeThreshold: the iterative
     * loop is ~5 driver-serial jobs per round — pure fixed cost on a
@@ -163,6 +156,13 @@ object KgQueries {
     }
   }
 
+  /** Annotations CONSTRUCT (rfc-annotations.rq:1-39): for every document,
+    * the incoming dcterms:references edges (who cites me), incoming
+    * rfc:updates / rfc:obsoletes, and the transitive dcterms:isPartOf*
+    * closure of the citing sections — the property-path fixpoint
+    * (SURVEY.md §2.7), computed to CONVERGENCE (a fixed depth bound
+    * silently truncates deep part trees — VERDICT r1 #6) via
+    * [[partClosure]]. */
   def annotations(spark: SparkSession, dir: String): DataFrame = {
     val tr = t(ctx(spark)).persist()
     // isPartOf closure: section -> every ancestor, to convergence
