@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.Patch
+
+/** Unified-diff engine: constructed-edit round-trips (apply(diff(a→b), a)
+  * must equal b exactly), multi-hunk ordering, fuzz adjustment bounds. */
+class PatchSpec extends AnyFunSuite {
+
+  /** Build a unified diff for "replace lines [at, at+del) with `ins`",
+    * with `ctx` context lines — a generator, so the test never trusts the
+    * engine to check itself. */
+  private def hunkFor(src: IndexedSeq[String], at: Int, del: Int,
+                      ins: Seq[String], ctx: Int = 2,
+                      comment: String = ""): String = {
+    val cBefore = math.max(0, at - ctx)
+    val cAfter = math.min(src.length, at + del + ctx)
+    val body = new StringBuilder
+    (cBefore until at).foreach(i => body.append(" " + src(i) + "\n"))
+    (at until at + del).foreach(i => body.append("-" + src(i) + "\n"))
+    ins.foreach(l => body.append("+" + l + "\n"))
+    (at + del until cAfter).foreach(i => body.append(" " + src(i) + "\n"))
+    val srcLen = cAfter - cBefore
+    val dstLen = srcLen - del + ins.size
+    s"@@ -${cBefore + 1},$srcLen +${cBefore + 1},$dstLen @@ $comment\n" + body
+  }
+
+  private def applyEdit(src: IndexedSeq[String], at: Int, del: Int,
+                        ins: Seq[String]): IndexedSeq[String] =
+    src.take(at) ++ ins ++ src.drop(at + del)
+
+  test("random single-hunk round-trips (200 seeded cases)") {
+    val rnd = new scala.util.Random(99)
+    (0 until 200).foreach { k =>
+      val n = 5 + rnd.nextInt(40)
+      val src = (0 until n).map(i => s"line $i ${rnd.nextInt(1000)}")
+      val at = rnd.nextInt(n)
+      val del = rnd.nextInt(math.min(4, n - at))
+      val ins = (0 until rnd.nextInt(4)).map(j => s"new $k-$j")
+      val want = applyEdit(src, at, del, ins).mkString("\n")
+      val patch = hunkFor(src, at, del, ins)
+      val (got, _) = Patch.apply(src.mkString("\n"), patch)
+      assert(got == want, s"case $k: at=$at del=$del ins=${ins.size}")
+    }
+  }
+
+  test("multiple hunks apply in order; comment carried as description") {
+    val src = (0 until 30).map(i => s"row $i")
+    val e1 = applyEdit(src, 3, 1, Seq("patched three"))
+    val e2 = applyEdit(e1, 20, 2, Seq("twenty", "twenty-one"))
+    val patch = hunkFor(src, 3, 1, Seq("patched three"), comment = "fix 3") +
+      hunkFor(src, 20, 2, Seq("twenty", "twenty-one"))
+    val (got, desc) = Patch.apply(src.mkString("\n"), patch)
+    assert(got == e2.mkString("\n"))
+    assert(desc.contains("fix 3"))
+  }
+
+  test("fuzz: shifted hunk headers still apply; beyond-fuzz conflicts") {
+    val src = (0 until 60).map(i => s"item $i")
+    val patch = hunkFor(src, 30, 1, Seq("ITEM 30"))
+    // shift the header by -7: the context match drifts but succeeds
+    val shifted = patch.replaceFirst("@@ -29,5 \\+29,5 @@", "@@ -22,5 +22,5 @@")
+    assert(Patch.apply(src.mkString("\n"), shifted)._1.contains("ITEM 30"))
+    // conflicting context never applies
+    val bad = "@@ -1,1 +1,1 @@\n-does not exist\n+x\n"
+    intercept[Patch.PatchConflict](Patch.apply(src.mkString("\n"), bad))
+  }
+
+  test("empty context lines in the diff body are tolerated") {
+    val src = IndexedSeq("a", "", "b")
+    val patch = "@@ -1,3 +1,3 @@\n a\n\n-b\n+B\n" // blank line = blank context
+    assert(Patch.apply(src.mkString("\n"), patch)._1 == "a\n\nB")
+  }
+}
