@@ -81,7 +81,8 @@ object KgPipeline {
   /** Run all stages over `input`. Pass `sameAsEdges`/`curated` for the
     * canonicalization inputs (curated alias metadata, sameas.n3 role). */
   def run(spark: SparkSession, conf: Conf, input: Dataset[SourceFile],
-          sameAs: DataFrame, curated: DataFrame): Summary = {
+          sameAs: DataFrame, curated: DataFrame,
+          patches: Option[DataFrame] = None): Summary = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val fmt = conf.format
@@ -123,7 +124,22 @@ object KgPipeline {
     val pendingRows =
       if (conf.resume) timed("p0_pending_count")(toParse.count()) else -1L
 
-    val parsed = KgStages.parseStage(toParse)
+    // patch_if_needed before parse (documentrepository.py:1355-1404):
+    // applied patches and conflicts are audited in their own stage table
+    val (parseInput, patchedCache) = patches match {
+      case None => (toParse, None)
+      case Some(pt) =>
+        val patched = KgStages.patchStage(toParse, pt).persist()
+        timed("p0_patches")(
+          patched.filter(col("patchDesc").isNotNull ||
+              col("patchError").isNotNull)
+            .select("repo", "path", "patchDesc", "patchError")
+            .write.mode(if (conf.resume) "append" else "overwrite")
+            .format(fmt).save(path("patches")))
+        (patched.map(_.toSourceFile), Some(patched))
+    }
+
+    val parsed = KgStages.parseStage(parseInput)
     // persist the exploded outputs; ParseOut itself is transient
     val parsedPersisted = parsed.persist()
     val mode = if (conf.resume) "append" else "overwrite"
@@ -143,6 +159,7 @@ object KgPipeline {
       () => timed("p5_lineage")(KgStages.lineageDf(read("docs"), "parse", conf.runId)
         .write.mode("append").format(fmt).save(path("lineage"))))
     parsedPersisted.unpersist()
+    patchedCache.foreach(_.unpersist())
 
     val docs = read("docs")
     val docTriples0 = read("doc_triples")
@@ -248,6 +265,8 @@ object KgPipeline {
       broadcastDict = opts.getOrElse("--broadcast-dict", "true").toBoolean,
       salt = opts.getOrElse("--salt", "8").toInt,
       runId = opts.getOrElse("--run-id", "run0"))
+    // optional curated patch table: parquet with (repo, path, patch, desc)
+    val patchDir = opts.get("--patch-dir")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -261,7 +280,9 @@ object KgPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = runSynthetic(spark, conf)
+    val s = run(spark, conf, synthesizeInput(spark, conf.n, conf.seed),
+      sameAsEdges(spark, conf.n), curatedTriples(spark, conf.n),
+      patchDir.map(spark.read.parquet))
     println(f"""{"inputRows":${s.inputRows},"parsed":${s.parsedRows},""" +
       f""""failed":${s.failedRows},"triples":${s.tripleCount},""" +
       f""""mentions":${s.mentionCount},"links":${s.linkCount},""" +

@@ -274,4 +274,33 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out3.head.patchError.isDefined)
     assert(out3.head.content == d.src.content) // original text untouched
   }
+  test("pipeline with a patch table: patched content flows through, audited") {
+    import spark.implicits._
+    val n = 20L
+    val d = Corpus.doc(42L, 5L, n)
+    val lines = d.src.content.split("\n", -1)
+    val idx = lines.indexWhere(_.startsWith("1.  "))
+    val patch =
+      s"""@@ -${idx + 1},1 +${idx + 1},1 @@ pipeline retitle
+         |-${lines(idx)}
+         |+1.  Pipeline Patched Heading
+         |""".stripMargin
+    val patches = Seq((d.src.repo, d.src.path, patch, null: String))
+      .toDF("repo", "path", "patch", "desc")
+    val wd = java.nio.file.Files.createTempDirectory("graft-patch-e2e").toString
+    val s = KgPipeline.run(spark,
+      KgPipeline.Conf(workDir = wd, n = n, seed = 42L, runId = "patch-e2e"),
+      KgPipeline.synthesizeInput(spark, n, 42L),
+      KgPipeline.sameAsEdges(spark, n),
+      KgPipeline.curatedTriples(spark, n),
+      patches = Some(patches))
+    assert(s.parsedRows == n)
+    val audited = spark.read.parquet(s"$wd/patches").collect()
+    assert(audited.length == 1)
+    assert(audited.head.getString(2) == "pipeline retitle")
+    val triples = spark.read.parquet(s"$wd/triples")
+    assert(triples.filter(org.apache.spark.sql.functions.col("obj") ===
+      "Pipeline Patched Heading").count() == 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
+  }
 }
