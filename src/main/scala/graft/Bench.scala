@@ -136,12 +136,36 @@ object Bench {
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val nBig = nSmall * 4
 
-    // ---- phase 1: query suite at the full advertised width
+    // ---- phase 1: query suite at the full advertised width.
+    // Evidence discipline (VERDICT r2 "What's wrong" #1): one UNTIMED warm
+    // pass first (JIT + page cache + shared-ctx builds), then TWO timed
+    // interleaved passes, report min-of-2 — external CPU-noise bursts on
+    // this runner only ever SLOW a run, so min converges to the clean
+    // number. A failing query is reported in "errors", never as a timing.
     val s1 = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val qnames = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedPass(): Map[String, Double] = qnames.flatMap { case (name, fn) =>
+      if (errors.contains(name)) None
+      else {
+        val t0 = System.nanoTime()
+        try {
+          fn(s1, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)
+            None
+        } finally CacheRegistry.release()
+      }
+    }.toMap
+    timedPass() // warm (discarded)
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = qnames.collect {
+      case (name, _) if p1.contains(name) || p2.contains(name) =>
+        name -> math.min(p1.getOrElse(name, Double.MaxValue),
+          p2.getOrElse(name, Double.MaxValue))
     }
     s1.stop()
     SparkSession.clearActiveSession()
@@ -172,9 +196,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum + big.wallSec + small.wallSec
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,""" +
       f""""kg_n":$kgN,"kg_triples":$kgTriples,""" +
       f""""kg_sec_n$nSmall":${small.wallSec}%.2f,"kg_sec_n$nBig":${big.wallSec}%.2f,""" +
       f""""kg_triples_per_sec_n$nSmall":$tpsSmall%.0f,""" +

@@ -74,6 +74,11 @@ object PlanCheck {
     check("sim_cosine_pairs",
       !p6.contains("BroadcastNestedLoopJoin") && !p6.contains("CartesianProduct"),
       "no nested-loop/cartesian join in the pair scan")
+    // plan size must be O(1) in block count (VERDICT r2 #2): the block
+    // replicas come from ONE explode(sequence(...)), not a literal array
+    check("sim_cosine_pairs",
+      "least\\(".r.findAllIn(p6).size <= 4 && p6.length < 40000,
+      "constant-size block-replication plan (no per-block literals)")
 
     // 7. global ranking is two-phase: the data flows through a RANGE
     // exchange + partition-local window (Ranking.globalRank), never a

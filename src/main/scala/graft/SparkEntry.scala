@@ -24,8 +24,8 @@ object SparkEntry {
       graft.sim.SimOps.oracleSql ++ graft.kg.KgQueries.oracleSql ++
       graft.mm.MultiModal.oracleSql ++ graft.streaming.StreamOps.oracleSql
 
-  /** Engine-internal tables dumped by graft.Verify under outDir/_base as
-    * oracle inputs (stage tables, signature tables, version history). */
+  /** Engine-internal tables dumped by graft.Verify under the `<outDir>.base`
+    * sibling dir as oracle inputs (stage tables, signatures, versions). */
   def baseTables: Map[String, (SparkSession, String) => DataFrame] =
     graft.kg.KgQueries.baseTables ++ graft.text.TextOps.baseTables ++
       graft.mm.MultiModal.baseTables

@@ -8,7 +8,9 @@ import java.nio.file.{Files, Paths}
   * triples/docs/linked tables, the mm feature tables, signature tables)
   * have no counterpart in sfDir, so their oracle SQL could never run —
   * round 1 left them `no_oracle`. We dump those tables as parquet under
-  * `outDir/_base/<name>` and template the oracle SQL: `__BASE__` expands to
+  * the sibling dir `<outDir>.base/<name>` (NOT under outDir — the driver
+  * comparator enumerates outDir subdirs as query outputs, ADVICE r2) and
+  * template the oracle SQL: `__BASE__` expands to
   * that absolute path and `__OUT__` to outDir itself (DuckDB reads them via
   * read_parquet, no view registration needed). The oracle then re-derives
   * each query's RELATIONAL logic (joins, closures, aggregations, windows)
@@ -28,9 +30,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Base dumps live in a SIBLING directory, not under outDir: the
+    // driver's comparator enumerates outDir subdirectories as query
+    // outputs, and a `_base` entry shows up as a spurious no_oracle row
+    // (ADVICE r2). Oracle SQL reaches them via the __BASE__ template.
+    val baseDir = new java.io.File(outDir).getAbsolutePath + ".base"
     SparkEntry.baseTables.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/_base/$name")
+        .parquet(s"$baseDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] base $name failed: ${e.getMessage}")
       }
@@ -41,6 +48,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // builder-local caches die with their query (VERDICT r2 #5)
+      finally CacheRegistry.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -57,7 +66,7 @@ object Verify {
     val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        val sql = v.replace("__BASE__", s"$absOut/_base").replace("__OUT__", absOut)
+        val sql = v.replace("__BASE__", baseDir).replace("__OUT__", absOut)
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

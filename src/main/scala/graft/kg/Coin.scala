@@ -34,17 +34,23 @@ import graft.model.Vocab
   */
 object Coin {
 
-  /** coin.py:57-98. Pipeline order matters and is the reference's. */
+  /** coin.py:57-98. Pipeline order matters and is the reference's.
+    * `collapseSpaces` is a graft extension (trim + collapse whitespace
+    * runs, after the replace pairs, before space replacement) needed for
+    * byte-parity with EntityDict.slug, which collapses space runs to one
+    * separator. */
   final case class SlugTransform(
       toLowerCase: Boolean = false,
       replace: Seq[(String, String)] = Nil,
       spaceReplacement: String = "+",
-      stripPattern: Option[String] = None) {
+      stripPattern: Option[String] = None,
+      collapseSpaces: Boolean = false) {
     @transient private lazy val stripRe = stripPattern.map(_.r)
     def apply(value: String): String = {
       var v = value
       if (toLowerCase) v = v.toLowerCase
       replace.foreach { case (c, r) => v = v.replace(c, r) }
+      if (collapseSpaces) v = v.trim.replaceAll("\\s+", " ")
       v = v.replace(" ", spaceReplacement)
       stripRe.foreach(re => v = re.replaceAllIn(v, ""))
       v
@@ -147,7 +153,25 @@ object Coin {
     *   /doc/{repo-slug}/{stem-slug}       (MdDoc.mintUri)
     *   {docUri}#S{ordinal}                (section fragments)
     */
+  /** Path-segment slug, BYTE-ALIGNED with EntityDict.slug (which mints
+    * the ground-truth /doc/{repo}/{stem} URIs — ADVICE r2: the r2 pattern
+    * kept './#' here while EntityDict.slug drops them, so labels with
+    * dots or slashes minted diverging URIs and could inject extra path
+    * segments). Punctuation is deleted BEFORE space collapse (so "a . b"
+    * → "a-b", as EntityDict.slug computes it); anything left outside
+    * [a-z0-9-] is stripped at the end. Section FRAGMENTS keep their dots
+    * via the fragment template's own transform ([[ordinalSlug]]). */
   val slugLike: SlugTransform = SlugTransform(
+    toLowerCase = true,
+    replace = Seq(".", "/", "#", "_", ",", ":", ";", "!", "?", "'", "\"",
+      "(", ")", "+", "&", "*", "@", "%", "=").map(_ -> ""),
+    collapseSpaces = true,
+    spaceReplacement = "-",
+    stripPattern = Some("[^a-z0-9-]"))
+
+  /** Fragment-ordinal slug: ordinals like "2.1" keep their dots (the r2
+    * slugLike behavior, now scoped to where it is actually needed). */
+  val ordinalSlug: SlugTransform = SlugTransform(
     toLowerCase = true,
     spaceReplacement = "-",
     stripPattern = Some("[^a-z0-9./#-]"))
@@ -166,7 +190,8 @@ object Coin {
     templates0 = Seq(
       // section fragment: most specific — needs an owning doc in-space
       Template(fragmentTemplate = Some("S{ordinal}"), priority = 20,
-        relToBase = Some(docProp), bindings = Seq(Binding(ordinalProp))),
+        relToBase = Some(docProp), bindings = Seq(Binding(ordinalProp)),
+        slugTransform = Some(ordinalSlug)),
       Template(uriTemplate = Some("/rfc/{rfcNumber}"), priority = 10,
         bindings = Seq(Binding(rfcNumber))),
       Template(uriTemplate = Some("/celex/{celex}"), priority = 8,

@@ -69,17 +69,27 @@ object KgStages {
                  patches: DataFrame): Dataset[PatchedFile] = {
     val spark = input.sparkSession
     import spark.implicits._
-    val p = patches.select(col("repo").as("_prepo"), col("path").as("_ppath"),
-      col("patch").as("_patch"), col("desc").as("_pdesc"))
+    // uniqueness guard (ADVICE r2): the reference asserts exactly one
+    // patch per file — two patch rows for the same (repo, path) must NOT
+    // silently duplicate the source row through every downstream stage.
+    // Aggregate to one row per key; keys with >1 patch surface as a
+    // patchError (poison-row rule: captured, never thrown).
+    val p = patches.groupBy(col("repo").as("_prepo"), col("path").as("_ppath"))
+      .agg(count(lit(1)).as("_pn"),
+        min(col("patch")).as("_patch"), min(col("desc")).as("_pdesc"))
     input.toDF()
       .join(broadcast(p),
         col("repo") === col("_prepo") && col("path") === col("_ppath"),
         "left")
       .select(col("repo"), col("path"), col("commit"), col("lang"),
-        col("content"), col("_patch"), col("_pdesc"))
-      .as[(String, String, String, String, String, Option[String], Option[String])]
-      .map { case (repo, path, commit, lang, content, patch, tableDesc) =>
+        col("content"), col("_patch"), col("_pdesc"), col("_pn"))
+      .as[(String, String, String, String, String, Option[String],
+           Option[String], Option[Long])]
+      .map { case (repo, path, commit, lang, content, patch, tableDesc, pn) =>
         patch match {
+          case _ if pn.exists(_ > 1) =>
+            PatchedFile(repo, path, commit, lang, content, None,
+              Some(s"${pn.get} patches for $repo/$path; expected exactly one"))
           case None =>
             PatchedFile(repo, path, commit, lang, content, None, None)
           case Some(pt) =>

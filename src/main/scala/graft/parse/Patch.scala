@@ -24,28 +24,53 @@ object Patch {
     """@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@ ?(.*)""".r
 
   /** Parse a single-file unified diff (---/+++ file headers optional and
-    * skipped; the reference asserts exactly one file per patch). */
+    * skipped; the reference asserts exactly one file per patch).
+    *
+    * Hunk bodies are delimited by the PARSED srcLen/dstLen counts, so a
+    * body line whose content itself starts with '--' or '++' (e.g.
+    * deleting a SQL `-- comment` yields a `--- comment` diff line) is
+    * body content, never a file header — the r2 version classified by
+    * prefix anywhere and silently DROPPED such lines, applying the patch
+    * "successfully" with corrupted output (ADVICE r2; the reference's
+    * patchit anchors headers to `--- `/`+++ ` + filename and raises
+    * PatchSyntaxError). Excess or malformed lines inside an open hunk
+    * throw [[PatchConflict]] instead of being misfiled. */
   def parse(patchText: String): Vector[Hunk] = {
     val out = Vector.newBuilder[Hunk]
     var current: Option[(Int, Int, Int, Int, Option[String])] = None
     var body = Vector.newBuilder[String]
-    def flush(): Unit = current.foreach { case (a, b, c, d, cm) =>
-      out += Hunk(a, b, c, d, cm, body.result())
+    var srcLeft = 0
+    var dstLeft = 0
+    def flush(): Unit = {
+      current.foreach { case (a, b, c, d, cm) =>
+        out += Hunk(a, b, c, d, cm, body.result())
+      }
+      current = None
     }
-    patchText.linesIterator.foreach {
-      case HunkHeader(a, b, c, d, cm) =>
-        flush()
-        current = Some((a.toInt, Option(b).map(_.toInt).getOrElse(1),
-          c.toInt, Option(d).map(_.toInt).getOrElse(1),
-          Option(cm).map(_.trim).filter(_.nonEmpty)))
-        body = Vector.newBuilder[String]
-      case l if l.startsWith("---") || l.startsWith("+++") ||
-                l.startsWith("diff ") || l.startsWith("index ") => ()
-      case l if current.isDefined &&
-                (l.startsWith(" ") || l.startsWith("-") || l.startsWith("+") ||
-                 l.isEmpty) =>
-        body += (if (l.isEmpty) " " else l) // empty = blank context line
-      case _ => ()
+    patchText.linesIterator.foreach { line =>
+      val hunkOpen = current.isDefined && (srcLeft > 0 || dstLeft > 0)
+      if (hunkOpen) {
+        val l = if (line.isEmpty) " " else line // blank context line
+        l.charAt(0) match {
+          case ' ' => body += l; srcLeft -= 1; dstLeft -= 1
+          case '-' => body += l; srcLeft -= 1
+          case '+' => body += l; dstLeft -= 1
+          case '\\' => () // "\ No newline at end of file"
+          case _ =>
+            throw PatchConflict(s"malformed hunk body line: $line")
+        }
+      } else line match {
+        case HunkHeader(a, b, c, d, cm) =>
+          flush()
+          val sl = Option(b).map(_.toInt).getOrElse(1)
+          val dl = Option(d).map(_.toInt).getOrElse(1)
+          current = Some((a.toInt, sl, c.toInt, dl,
+            Option(cm).map(_.trim).filter(_.nonEmpty)))
+          srcLeft = sl
+          dstLeft = dl
+          body = Vector.newBuilder[String]
+        case _ => () // file headers / diff noise between hunks
+      }
     }
     flush()
     val hunks = out.result()

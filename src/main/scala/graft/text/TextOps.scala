@@ -168,7 +168,7 @@ object TextOps {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.8,
                         maxDf: Int = MaxDf): DataFrame = {
-    val sh0 = shingles(spark, dir).persist()
+    val sh0 = graft.CacheRegistry.track(shingles(spark, dir))
     val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sh = capDf(sh0, Seq("shingle"), maxDf) // hot-shingle guard
     val inter = sh.as("a").join(sh.as("b"),
@@ -254,7 +254,7 @@ object TextOps {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.8,
                       maxDf: Int = MaxDf): DataFrame = {
-    val sh = shingles(spark, dir).persist()
+    val sh = graft.CacheRegistry.track(shingles(spark, dir))
     val sig = minhashSignatures(sh)
     val rows = MinhashPerms / Bands
     val banded0 = sig.select(col("doc_id"),

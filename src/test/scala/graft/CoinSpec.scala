@@ -37,6 +37,25 @@ class CoinSpec extends AnyFunSuite {
     }, "slug parity")
   }
 
+  test("slug parity holds for labels with './_#' punctuation and space runs") {
+    // ADVICE r2: the r2 slugLike kept './#' that EntityDict.slug drops —
+    // a repo or stem containing '.', '/', '_' or '#' minted a URI that
+    // diverged from ground truth (and '/' injected extra path segments)
+    val piece = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf(".", "/", "_", "#", ",", ":", "(", ")", "  ", " "))
+    val label = Gen.nonEmptyListOf(piece).map(_.mkString)
+      .suchThat(_.exists(_.isLetterOrDigit))
+    check(Prop.forAll(label) { l =>
+      Coin.slugLike(l) == EntityDict.slug(l)
+    }, "punctuated slug parity")
+    // spot checks incl. the path-injection case
+    assert(Coin.slugLike("v1.2/3#x_y") == EntityDict.slug("v1.2/3#x_y"))
+    assert(Coin.readmeUri("re/po", "st.em") ==
+      s"${EntityDict.base}/doc/${EntityDict.slug("re/po")}/${EntityDict.slug("st.em")}")
+    assert(!Coin.readmeUri("re/po", "stem").contains("re/po"))
+  }
+
   test("round-trip: template-minted URI parses back to its variables") {
     val num = Gen.choose(1L, 999999L).map(_.toString)
     check(Prop.forAll(num) { n =>

@@ -106,4 +106,18 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local == dist)
     assert(local.nonEmpty)
   }
+
+  test("isPartOf closure: distributed path converges on a 100-deep chain") {
+    // ADVICE r2: the one-hop fixpoint silently truncated chains deeper
+    // than ~65; path doubling must close a 100-link chain completely
+    import spark.implicits._
+    val depth = 100
+    val part = (0 until depth)
+      .map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
+    val got = KgQueries.partClosure(part, localThreshold = 0).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (for { i <- 0 until depth; j <- (i + 1) to depth }
+      yield (s"n$i", s"n$j")).toSet
+    assert(got == want)
+  }
 }

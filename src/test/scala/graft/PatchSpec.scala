@@ -71,4 +71,37 @@ class PatchSpec extends AnyFunSuite {
     val patch = "@@ -1,3 +1,3 @@\n a\n\n-b\n+B\n" // blank line = blank context
     assert(Patch.apply(src.mkString("\n"), patch)._1 == "a\n\nB")
   }
+
+  test("body content starting with '-'/'+' is body, not a file header") {
+    // deleting a SQL '-- comment' produces a '--- comment' diff line; the
+    // r2 parser misread it as a file header and silently dropped it
+    // (ADVICE r2) — the srcLen/dstLen-delimited parser must keep it
+    val src = IndexedSeq("SELECT 1;", "-- old comment", "++x", "SELECT 2;")
+    val want = IndexedSeq("SELECT 1;", "++y", "SELECT 2;")
+    val patch =
+      "@@ -1,4 +1,3 @@\n SELECT 1;\n--- old comment\n-++x\n+++y\n SELECT 2;\n"
+    val (got, _) = Patch.apply(src.mkString("\n"), patch)
+    assert(got == want.mkString("\n"))
+  }
+
+  test("random round-trips with '-'/'+'-prefixed content (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("-- c", "++ d", "--- e", "+++ f", "plain", "-x", "+y")
+    (0 until 100).foreach { k =>
+      val n = 5 + rnd.nextInt(20)
+      val src = (0 until n).map(i => s"${alphabet(rnd.nextInt(alphabet.size))} $i")
+      val at = rnd.nextInt(n)
+      val del = rnd.nextInt(math.min(4, n - at))
+      val ins = (0 until rnd.nextInt(4))
+        .map(j => s"${alphabet(rnd.nextInt(alphabet.size))} new$j")
+      val want = applyEdit(src, at, del, ins).mkString("\n")
+      val (got, _) = Patch.apply(src.mkString("\n"), hunkFor(src, at, del, ins))
+      assert(got == want, s"case $k")
+    }
+  }
+
+  test("truncated hunk (missing body lines) conflicts instead of misparsing") {
+    val bad = "@@ -1,3 +1,3 @@\n a\n@@ -5,1 +5,1 @@\n-q\n+r\n"
+    intercept[Patch.PatchConflict](Patch.apply("a\nb\nc\nd\nq", bad))
+  }
 }

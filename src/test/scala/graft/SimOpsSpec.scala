@@ -8,13 +8,20 @@ import graft.sim.SimOps
 /** Similarity-search operators: exact baselines and ANN recall. */
 class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-sim-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    // suites share one forked JVM: claim a FRESH session so plan checks
+    // and cache assertions don't inherit another suite's state/config
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sim-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   override def afterAll(): Unit = { spark.stop(); super.afterAll() }
 
@@ -105,6 +112,68 @@ class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = g.flatMap(_.getString(2).split(",").map(_.toLong))
     assert(all.distinct.length == all.length)
   }
+  test("cosinePairsAuto size gate: exact below threshold, LSH path above") {
+    import org.apache.spark.sql.functions.col
+    // below the gate: identical to the exact blocked scan
+    val exact = SimOps.cosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val auto = SimOps.cosinePairsAuto(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(auto.toSeq == exact.toSeq)
+
+    // above the gate (forced with maxExactRows=1): the LSH-candidate +
+    // exact-verify path — perfect precision (subset of exact pairs, each
+    // exactly verified) and high recall on clustered data
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = for { c <- centers.indices; m <- 0 until 20 } yield {
+      val v = centers(c).map(x => (x + 0.05 * rng.nextGaussian()).toFloat)
+      (c * 20L + m, v.toSeq)
+    }
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val exactC = SimOps.cosinePairs(spark, tmp, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshC = SimOps.cosinePairsAuto(spark, tmp, 0.9, maxExactRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshC.subsetOf(exactC), "LSH path emitted a non-exact pair")
+    val recall = lshC.size.toDouble / exactC.size
+    info(f"gate LSH all-pairs recall=$recall%.3f (${lshC.size}/${exactC.size})")
+    assert(recall >= 0.8, f"LSH all-pairs clustered recall $recall%.3f")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("blocked scan plan size is O(1) in corpus size (no literal array)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // sparse ids spread over ~400 blocks: the r2 implementation would put
+    // ~400 struct literals in the plan; the sequence-based one is constant
+    val e = (0 until 50).map(i => (i * 2048L, Seq.fill(8)(1.0), 1.0))
+      .toDF("vec_id", "v", "nrm")
+    val plan = SimOps.cosinePairsExactOn(e, 0.4)
+      .queryExecution.optimizedPlan.toString
+    val leastCount = "least\\(".r.findAllIn(plan).size
+    assert(leastCount <= 2, s"plan grew with block count: $leastCount least()")
+    assert(plan.length < 20000, s"plan string ${plan.length} chars")
+    CacheRegistry.release()
+  }
+
+  test("CacheRegistry: builder caches are released after terminal action") {
+    // run every SimOps + TextOps registered query; after release, no NEW
+    // persisted RDDs remain (VERDICT r2 "What's wrong" #5). Delta-based:
+    // suites share the JVM, so pre-existing cached frames are not ours.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (SimOps.queries ++ graft.text.TextOps.queries).foreach { case (name, fn) =>
+      fn(spark, dir).count()
+      CacheRegistry.release()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked cached RDDs: $leaked")
+    }
+  }
+
   test("ANN on CLUSTERED embeddings: recall at realistic similarity levels") {
     // synthetic clustered corpus: 20 well-separated centers, 25 members
     // each with small noise — within-cluster cosine ~0.95+, the regime a

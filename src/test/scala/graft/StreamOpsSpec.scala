@@ -54,6 +54,21 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
   }
 
+  test("streamEventCounts: Append-mode file sink emits ALL windows == batch") {
+    // the registered query shape: watermark + Append + parquet sink, no
+    // Complete mode, no memory sink; sentinel flush files must push the
+    // watermark past the tail windows so NOTHING is missing vs batch
+    val got = StreamOps.streamEventCounts(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    val expect = StreamOps.windowedEventCounts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select("window_start", "event_type", "n")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == expect)
+    assert(!got.exists(_.getString(1) == StreamOps.FlushSentinel))
+  }
+
   test("sessionize: batch-mode state function groups per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
