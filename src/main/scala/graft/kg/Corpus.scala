@@ -549,4 +549,135 @@ object Corpus {
     val commit = f"m${(seed ^ i) & 0xffffffffL}%08x"
     GenDoc(SourceFile(repo, path, commit, lang, body.toString), truth.result())
   }
+
+  // ------------------------------------------------- sv-law family
+  /** Fourth document family: Swedish statute text with SFS-style
+    * citations, exercising the stateful dictionary-driven LawRef parser
+    * (the reference's LegalRef flagship, legalref.py) — including the
+    * per-document anaphora ("4 § samma lag") and in-document name
+    * learning that no stateless grammar can resolve. Ground truth is
+    * generated INDEPENDENTLY of the parser from the same template
+    * variables (the P/R oracle pattern of the other three families). */
+  final val lawStemsA = Vector("exempel", "garanti", "trafik", "skatte",
+    "miljö", "arbets", "bostads", "försäkrings", "aktie", "data", "energi",
+    "fiske", "jakt", "skol", "tull", "vatten", "väg", "post")
+  final val lawStemsB = Vector("", "tillsyns", "register", "avgifts",
+    "kontroll", "stöd", "säkerhets", "ansvars")
+  final val lawNameSuffixes = Vector("lagen", "förordningen", "kungörelsen")
+
+  /** Hard cap on the law corpus: name combinations are unique below it. */
+  final val MaxLaws: Long =
+    (lawStemsA.size * lawStemsB.size * lawNameSuffixes.size).toLong // 432
+
+  /** SFS id of corpus law j (unique for j < MaxLaws). */
+  def sfsIdOf(j: Long): String = s"${1950 + (j % 70)}:${100 + j}"
+
+  /** Unique Swedish-shaped law name of corpus law j ("trafikstödslagen"
+    * style) — always suffix-bearing so the LawRef named-law word
+    * recognizer fires on it. */
+  def lawNameOf(j: Long): String = {
+    require(j < MaxLaws, s"law corpus capped at $MaxLaws names")
+    val a = lawStemsA((j % lawStemsA.size).toInt)
+    val b = lawStemsB(((j / lawStemsA.size) % lawStemsB.size).toInt)
+    val s = lawNameSuffixes(((j / (lawStemsA.size * lawStemsB.size))
+      % lawNameSuffixes.size).toInt)
+    s"$a$b$s"
+  }
+
+  /** The named-law dictionary over the first m corpus laws (normalized
+    * name → SFS id) — the role of the reference's rdfs:label graph
+    * injected into LegalRef (legalref.py:258-266). Pure function of m. */
+  def lawDictionary(m: Long): Map[String, String] =
+    (0L until math.min(m, MaxLaws)).map { j =>
+      graft.parse.LawRef.normalizeLawName(lawNameOf(j)) -> sfsIdOf(j)
+    }.toMap
+
+  private val svWords = Vector("verksamheten", "ansvar", "villkor",
+    "beslut", "prövning", "ansökan", "avgift", "tillsyn", "beräkning",
+    "underlag", "uppgifter", "myndigheten", "ersättning")
+  private def svSentence(r: Rng): String = {
+    val n = 3 + r.nextInt(4)
+    val ws = (0 until n).map(_ => r.pick(svWords))
+    s"${ws.head.capitalize} avser ${ws.tail.mkString(" och ")} i ärendet."
+  }
+
+  /** Law document i of an m-law corpus. Pure function of (seed, i, m). */
+  def lawDoc(seed: Long, i: Long, m: Long): GenDoc = {
+    val r = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L) ^ 0x94d049bb133111ebL)
+    val ownId = sfsIdOf(i)
+    val repo = s"sfs-${i % 4}"
+    val lang = "sv"
+    val path = s"sfs/${ownId.replace(":", "_")}.law"
+    val graph = s"${EntityDict.base}/dataset/$repo"
+    val base = s"${EntityDict.base}/sfs/"
+    val uri = base + ownId
+    val name = lawNameOf(i)
+    val title = s"${name.capitalize} ($ownId)"
+    def other(): Long = if (m <= 1) i else (i + 1 + r.nextInt((m - 1).toInt)) % m
+
+    val truth = Vector.newBuilder[Triple]
+    truth += Triple.uri(uri, Vocab.RDF_TYPE, Vocab.rfc("Law"), graph)
+    truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
+      lang = Some("sv"))
+    truth += Triple.lit(uri, Vocab.dcterms("identifier"), ownId, graph)
+    def ref(target: String): Unit =
+      truth += Triple.uri(uri, Vocab.dcterms("references"), target, graph)
+
+    val b = new StringBuilder
+    b.append(title).append("\n\n") // title line is NOT scanned (LawDoc)
+
+    // relative section reference → own law
+    val k1 = 1 + r.nextInt(30)
+    b.append(s"${svSentence(r)} Ytterligare bestämmelser finns i $k1 §.\n\n")
+    ref(s"$uri#P$k1")
+
+    // chapter-section reference → own law (single merged link)
+    val k2 = 1 + r.nextInt(20)
+    b.append(s"Enligt 2 kap. $k2 § gäller särskilda regler. ${svSentence(r)}\n\n")
+    ref(s"$uri#K2P$k2")
+
+    // section range → own law (two links)
+    if (r.nextBool(0.5)) {
+      val a = 2 + r.nextInt(10)
+      val c = a + 1 + r.nextInt(10)
+      b.append(s"Vid tillsyn gäller $a-$c §§ i tillämpliga delar.\n\n")
+      ref(s"$uri#P$a"); ref(s"$uri#P$c")
+    }
+
+    // external anonymous law + ANAPHORIC back-reference ("samma lag")
+    val j = other()
+    if (m > 1) {
+      val idJ = sfsIdOf(j)
+      val k3 = 1 + r.nextInt(15)
+      b.append(s"Vid beräkningen tillämpas 6 kap. lagen ($idJ) om stöd. ")
+      b.append(s"Beloppet bestäms enligt $k3 § samma lag.\n\n")
+      ref(s"$base$idJ#K6") // the chapter link
+      ref(s"$base$idJ")    // the SFS-number link
+      ref(s"$base$idJ#P$k3") // the anaphoric back-reference
+    }
+
+    // dictionary-resolved named law (no SFS number in the text)
+    if (m > 1 && r.nextBool(0.7)) {
+      val j2 = other()
+      b.append(s"Motsvarande regler finns i ${lawNameOf(j2)}.\n\n")
+      ref(s"$base${sfsIdOf(j2)}")
+    }
+
+    // named law WITH its SFS number (teaches the in-document map)
+    if (m > 1 && r.nextBool(0.4)) {
+      val j3 = other()
+      b.append(s"Se även ${lawNameOf(j3)} (${sfsIdOf(j3)}).\n\n")
+      ref(s"$base${sfsIdOf(j3)}")
+    }
+
+    // change reference → own law's #L fragment
+    if (r.nextBool(0.4)) {
+      val j4 = other()
+      b.append(s"${svSentence(r)} Lag (${sfsIdOf(j4)}).\n\n")
+      ref(s"$uri#L${sfsIdOf(j4)}")
+    }
+
+    val commit = f"l${(seed ^ i) & 0xffffffffL}%08x"
+    GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
+  }
 }

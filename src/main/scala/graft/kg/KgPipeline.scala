@@ -233,6 +233,15 @@ object KgPipeline {
     rfc.union(md).union(html)
   }
 
+  /** Swedish-law corpus (the LawRef family), executor-generated like the
+    * other families. */
+  def synthesizeLawInput(spark: SparkSession, m: Long,
+                         seed: Long): Dataset[SourceFile] = {
+    import spark.implicits._
+    spark.range(0, m, 1, spark.sparkContext.defaultParallelism)
+      .map(i => Corpus.lawDoc(seed, i, m).src)
+  }
+
   /** Curated sameAs edges, generated ON EXECUTORS (pure function of the
     * index, like synthesizeInput — a driver-side Vector contradicts the
     * 10^12-file scale argument and shipped 1.3 MiB tasks in round 1). */

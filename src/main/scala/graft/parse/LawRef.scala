@@ -1,0 +1,586 @@
+package graft.parse
+
+import java.util.regex.{Matcher, Pattern}
+import scala.collection.mutable
+
+/** Stateful dictionary-driven legal-citation parser — the re-expression of
+  * the reference's flagship LegalRef extractor for SFS law references
+  * (/root/reference/ferenda/sources/legal/se/legalref.py and the grammars
+  * lagrum.ebnf / base.ebnf).
+  *
+  * Faithfully kept semantics (golden-tested against the reference's OWN
+  * fixture suite, the .txt files under
+  * /root/reference/test/files/legalref/SFS, in LawRefGoldenSpec):
+  *  - per-document anaphora: `currentLaw` (within one citation root) and
+  *    `lastLaw` (across roots) resolve "… enligt 12 kap. 10 § samma lag"
+  *    back to the most recently cited law (legalref.py:340-342, 1017-1027);
+  *  - in-document learning: "elberedskapslagen (1997:288)" teaches the
+  *    parser that name → SFS id for the rest of the document
+  *    (`currentlynamedlaws`, legalref.py:976-979), on top of an injected
+  *    named-law dictionary (rdfs:label relations, legalref.py:258-266)
+  *    with genitive normalization (normalize_lawname, legalref.py:618-622);
+  *  - link-merging: a single-section reference with a named/same-law tail
+  *    renders as ONE link spanning the whole phrase, while anonymous-law
+  *    and multi-section phrases link each part separately
+  *    (format_ExternalRefs merge rule, legalref.py:1052-1060);
+  *  - URI shape: {base}{year:no}#K{chapter}P{section}S{piece}, #L{lawref}
+  *    for change references (sfs_format_uri, legalref.py:829-881), with
+  *    relative references completed from a base law (baseuri_attributes).
+  *
+  * The implementation is a hand-rolled recursive-descent scanner with
+  * backtracking — NOT a port of the SimpleParse table engine; the EBNF
+  * files only document WHAT to recognize. Scoped to the grammar subset the
+  * golden fixtures exercise (section/chapter/piece refs, lists, ranges,
+  * anonymous/named/same-law tails, change refs, SFS numbers); items,
+  * sentences ("meningen") and compound law names are out of scope this
+  * round.
+  */
+object LawRef {
+
+  /** One output segment: plain text or a link with a minted URI.
+    * `anaphoric` marks links whose law was resolved through the
+    * "samma/nämnda lag" back-reference (lastLaw) rather than stated in
+    * the text — downstream consumers (LawDoc mentions) surface this as a
+    * distinct grammar tag. */
+  final case class Seg(text: String, uri: Option[String] = None,
+                       anaphoric: Boolean = false)
+
+  /** Parser configuration. `namedLaws` keys are NORMALIZED law names
+    * (lowercase, genitive 's' stripped); values are SFS ids ("1962:700").
+    * `baseLaw` is the document's own SFS id — relative references ("3 §")
+    * resolve against it (the reference's baseuri_attributes). */
+  final case class Conf(
+      base: String = "https://lagen.nu/",
+      baseLaw: Option[String] = Some("9999:999"),
+      namedLaws: Map[String, String] = Map.empty)
+
+  /** normalize_lawname (legalref.py:618-622): lowercase + strip genitive. */
+  def normalizeLawName(name: String): String = {
+    val n = name.toLowerCase
+    if (n.endsWith("s")) n.dropRight(1) else n
+  }
+
+  /** Common -lagen/-ordningen words that are NOT laws (a representative
+    * subset of the reference's `nolaw` stop list, legalref.py:624-718;
+    * only consulted on dictionary lookups, where an unknown name already
+    * resolves to nothing). */
+  private val noLaw: Set[String] = Set(
+    "anordningen", "anslagen", "arbetsordningen", "bolagen", "dagordningen",
+    "förslagen", "rättsordningen", "slagen", "turordningen", "underlagen",
+    "uniformen", "upplagen", "utslagen", "varuslagen")
+
+  private val pieceMap = Map(
+    "första" -> "1", "andra" -> "2", "tredje" -> "3", "fjärde" -> "4",
+    "femte" -> "5", "sjätte" -> "6", "sjunde" -> "7", "åttonde" -> "8",
+    "nionde" -> "9")
+
+  // ------------------------------------------------------------ patterns
+  private def re(p: String): Pattern = Pattern.compile(p)
+
+  private val Ws = re("\\s+")
+  /** SectionRefID: number + optional single a-n letter not followed by a
+    * letter (base.ebnf SectionRefChar + the ?-char lookahead). */
+  private val SecId = re("([0-9]+)(\\s+[a-n](?![\\p{L}0-9]))?(?![\\p{L}0-9])")
+  /** ChapterRefID + kap keyword (lagrum.ebnf ChapterRef). */
+  private val Chap = re(
+    "([0-9]+)(\\s+[a-zåäö](?![\\p{L}0-9]))?\\s+[Kk]ap\\.?(?![\\p{L}])")
+  private val SectionMark = re("\\s+(§§|§)")
+  private val RangeSep = re("\\s*--?\\s*")
+  private val CommaSep = re(",\\s+")
+  private val ConjSep = re("\\s+(och|eller|samt)\\s+")
+  private val Ordinal = re(
+    "(första|andra|tredje|fjärde|femte|sjätte|sjunde|åttonde|nionde)(?![\\p{L}])")
+  private val PieceWord = re("\\s+(styckena|stycket)(?![\\p{L}])")
+  /** LawRefID (lagrum.ebnf): year:number with the archaic page suffix
+    * ("1736:0123 s. 2"). */
+  private val SfsId = re("([0-9]{4}:[0-9]+(?:\\s+s\\.?\\s*[0-9]+)?)")
+  private val SfsNr = re("\\(\\s*([0-9]{4}:[0-9]+(?:\\s+s\\.?\\s*[0-9]+)?)\\s*\\)")
+  /** Word carrying a law-name suffix STRICTLY inside it (re_escape_named,
+    * legalref.py:85-86: at least one word char before the suffix). */
+  private val NamedLawWord = re(
+    "([\\p{L}][\\p{L}-]*?(?:lagen|balken|förordningen|formen|ordningen|" +
+      "kungörelsen|stadgan)s?)(?![\\p{L}])")
+  private val LawSynonym = re(
+    "(lagen|lagens|balken|balkens|förordningen|förordningens|kungörelsen|" +
+      "stadgan|lag|förordning)(?![\\p{L}])")
+  private val SameLaw = re(
+    "(samma|nämnda)\\s+(lag|förordning)(?![\\p{L}])")
+  private val ChangeRef = re(
+    "(Lag|Förordning|lag|förordning)\\s+\\(\\s*([0-9]{4}:[0-9]+)\\s*\\)")
+  private val In = re("i\\s+")
+
+  def parse(text: String, conf: Conf): Vector[Seg] =
+    new Parser(conf).parse(text)
+
+  /** One instance per DOCUMENT — `lastLaw` and the learned name→id map
+    * deliberately survive across parse() calls (paragraphs), exactly as
+    * the reference keeps parser state across basefile paragraphs. */
+  final class Parser(conf: Conf) {
+    private var lastLaw: Option[String] = None
+    private val learned = mutable.HashMap.empty[String, String]
+
+    // --------------------------------------------------------- helpers
+    private var s: String = ""
+
+    private def at(p: Pattern, pos: Int): Option[Matcher] = {
+      val m = p.matcher(s)
+      m.region(pos, s.length)
+      m.useTransparentBounds(true)
+      if (m.lookingAt()) Some(m) else None
+    }
+
+    private def wordBoundary(pos: Int): Boolean =
+      pos == 0 || !Character.isLetterOrDigit(s.charAt(pos - 1))
+
+    /** "1736:0123 s. 2" → "1736:0123_s._2" (URI form, cf. the reference's
+      * space-to-underscore minting in the gammal-lag fixture). */
+    private def lawIdToUriPart(id: String): String =
+      id.replaceAll("\\s+", "_")
+
+    private def secIdNorm(text: String): String =
+      text.replaceAll("\\s+", "")
+
+    private def uriOf(law: Option[String], chapter: Option[String] = None,
+                      section: Option[String] = None,
+                      piece: Option[String] = None,
+                      item: Option[String] = None,
+                      lawref: Option[String] = None): Option[String] = {
+      val l = law.orElse(conf.baseLaw).getOrElse(return None)
+      val frag = new StringBuilder
+      lawref.foreach(r => frag.append("L").append(r))
+      chapter.foreach(c => frag.append("K").append(secIdNorm(c)))
+      section.foreach(x => frag.append("P").append(secIdNorm(x)))
+      piece.foreach(x => frag.append("S").append(x))
+      item.foreach(x => frag.append("N").append(x))
+      Some(conf.base + lawIdToUriPart(l) +
+        (if (frag.nonEmpty) "#" + frag else ""))
+    }
+
+    /** Dictionary + learned lookup of a (non-normalized) law name. */
+    private def resolveName(raw: String): Option[String] = {
+      val n = normalizeLawName(raw)
+      if (noLaw.contains(n)) None
+      else learned.get(n).orElse(conf.namedLaws.get(n))
+    }
+
+    /** A bare law synonym ("lagen", "förordningen", …) is NOT a named law
+      * — the reference's suffix-escape only fires when the suffix sits
+      * strictly INSIDE a longer word (re_escape_named's \B anchor plus
+      * the (?<!för)ordningen guard, legalref.py:85-86). */
+    private val bareSynonyms = Set("lagen", "balken", "förordningen",
+      "formen", "ordningen", "kungörelsen", "stadgan", "lag", "förordning")
+    private def isBareSynonym(word: String): Boolean =
+      bareSynonyms.contains(normalizeLawName(word))
+
+    // --------------------------------------------- intermediate pieces
+    /** A pending link: span plus attributes; law bound at root end. */
+    private final case class PLink(from: Int, to: Int,
+        chapter: Option[String], section: Option[String],
+        piece: Option[String], item: Option[String] = None,
+        fixedUri: Option[String] = None) // pre-resolved (law id links)
+    private final case class Group(pieces: Vector[Either[(Int, Int), PLink]],
+        nSecIds: Int, chapter: Option[String], end: Int)
+
+    // ------------------------------------------------------ group parse
+    /** Piece tail after "N §": single → merged link; list → split links
+      * (format_SectionPieceRefs, legalref.py:923-935). Returns
+      * (endPos, pieces) or None. `secStart` = span start for the merged
+      * first link (includes chapter/section text). */
+    private def tryPieceTail(pos: Int, secStart: Int,
+        chapter: Option[String], secId: String):
+        Option[(Int, Vector[Either[(Int, Int), PLink]])] = {
+      val wm = at(Ws, pos).getOrElse(return None)
+      var p = wm.end
+      // collect ordinals + the separators between them
+      val ords = mutable.ArrayBuffer.empty[(Int, Int, String)] // span+word
+      val seps = mutable.ArrayBuffer.empty[(Int, Int)]
+      var done = false
+      while (!done) {
+        val om = at(Ordinal, p).getOrElse(return None)
+        ords += ((om.start, om.end, om.group(1)))
+        p = om.end
+        at(PieceWord, p) match {
+          case Some(pm) => p = pm.end; done = true
+          case None =>
+            val sep = at(CommaSep, p).orElse(at(ConjSep, p))
+              .getOrElse(return None)
+            seps += ((sep.start, sep.end))
+            p = sep.end
+        }
+      }
+      val out = Vector.newBuilder[Either[(Int, Int), PLink]]
+      if (ords.size == 1) {
+        // single piece: one link "N § andra stycket"
+        out += Right(PLink(secStart, p, chapter, Some(secId),
+          Some(pieceMap(ords.head._3))))
+      } else {
+        // first link: "N § ORD1"; then sep str + one link per ordinal,
+        // the last one extending through "styckena"
+        out += Right(PLink(secStart, ords.head._2, chapter, Some(secId),
+          Some(pieceMap(ords.head._3))))
+        ords.toVector.tail.zipWithIndex.foreach { case ((of, oe, w), i) =>
+          val (sf, se) = seps(i)
+          out += Left((sf, se))
+          val end = if (i == ords.size - 2) p else oe // last gets "styckena"
+          out += Right(PLink(of, end, chapter, Some(secId),
+            Some(pieceMap(w))))
+        }
+      }
+      Some((p, out.result()))
+    }
+
+    /** Optional numeric item after a piece link ("andra stycket 11" →
+      * …S2N11 — the kapitel-paragraf-stycke fixture shape). */
+    private def tryItemTail(pos: Int, link: PLink):
+        Option[(Int, PLink)] =
+      for {
+        wm <- at(Ws, pos)
+        im <- at(re("([0-9]+)(?![\\p{L}0-9])"), wm.end)
+      } yield (im.end, link.copy(to = im.end, item = Some(im.group(1))))
+
+    /** Section group: a list of section ids ending in §/§§, possibly with
+      * a piece tail on a single section (lagrum.ebnf SectionRefs /
+      * SectionPieceRefs). */
+    private def trySectionGroup(pos: Int, chapter: Option[String],
+        chapterStart: Option[Int]): Option[Group] = {
+      val items = mutable.ArrayBuffer.empty[(Int, Int, String)]
+      val seps = mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = pos
+      var mark: Option[(Int, String)] = None // (end, §|§§)
+      while (mark.isEmpty) {
+        val sm = at(SecId, p).getOrElse(return None)
+        val idText = s.substring(sm.start, sm.end)
+        items += ((sm.start, sm.end, idText))
+        p = sm.end
+        at(SectionMark, p) match {
+          case Some(mm) => mark = Some((mm.end, mm.group(1)))
+          case None =>
+            val sep = at(RangeSep, p)
+              .orElse(at(CommaSep, p)).orElse(at(ConjSep, p))
+              .getOrElse(return None)
+            // the next token must be another section id
+            if (at(SecId, sep.end).isEmpty) return None
+            seps += ((sep.start, sep.end))
+            p = sep.end
+        }
+      }
+      val markEnd = mark.get._1
+      val out = Vector.newBuilder[Either[(Int, Int), PLink]]
+      if (items.size == 1) {
+        val (f, _, id) = items.head
+        val start = chapterStart.getOrElse(f)
+        // single "N §": piece tail may extend/split it
+        tryPieceTail(markEnd, start, chapter, id) match {
+          case Some((np, pieces)) =>
+            // optional numeric item on the LAST piece link
+            val (endPos, finalPieces) = pieces.last match {
+              case Right(pl) =>
+                tryItemTail(np, pl) match {
+                  case Some((ip, withItem)) =>
+                    (ip, pieces.init :+ Right(withItem))
+                  case None => (np, pieces)
+                }
+              case _ => (np, pieces)
+            }
+            return Some(Group(finalPieces, 1, chapter, endPos))
+          case None =>
+            out += Right(PLink(start, markEnd, chapter, Some(id), None))
+            return Some(Group(out.result(), 1, chapter, markEnd))
+        }
+      }
+      // multi-item list: each id its own link; last includes the mark;
+      // chapter text (if any) merges into the first link
+      items.toVector.zipWithIndex.foreach { case ((f, t, id), i) =>
+        val from = if (i == 0) chapterStart.getOrElse(f) else f
+        val to = if (i == items.size - 1) markEnd else t
+        out += Right(PLink(from, to, chapter, Some(id), None))
+        if (i < seps.size) out += Left((seps(i)._1, seps(i)._2))
+      }
+      Some(Group(out.result(), items.size, chapter, markEnd))
+    }
+
+    /** Chapter group: "N kap." alone, or chapter + section group. A
+      * single chapter+section renders as ONE link
+      * (format_ChapterSectionRef, legalref.py:1087-1090); a chapter with
+      * a section LIST renders the chapter as its own link followed by
+      * per-section links (the kapitel-paragrafer fixture shape). */
+    private def tryChapterGroup(pos: Int): Option[Group] = {
+      val cm = at(Chap, pos).getOrElse(return None)
+      val chapId = (cm.group(1) + Option(cm.group(2)).getOrElse("")).trim
+      val chapter = Some(chapId)
+      def chapterOnly =
+        Group(Vector(Right(PLink(pos, cm.end, chapter, None, None))),
+          0, chapter, cm.end)
+      at(Ws, cm.end) match {
+        case Some(wm) =>
+          trySectionGroup(wm.end, chapter, None) match {
+            case Some(g) if g.nSecIds == 1 =>
+              // merge chapter text into the (single) section's first link
+              val pieces = g.pieces.zipWithIndex.map {
+                case (Right(pl), 0) => Right(pl.copy(from = pos))
+                case (other, _) => other
+              }
+              Some(Group(pieces, 1, chapter, g.end))
+            case Some(g) =>
+              // chapter link + ws + per-section links
+              val pieces = Vector[Either[(Int, Int), PLink]](
+                Right(PLink(pos, cm.end, chapter, None, None)),
+                Left((cm.end, wm.end))) ++ g.pieces
+              Some(Group(pieces, g.nSecIds, chapter, g.end))
+            case None => Some(chapterOnly)
+          }
+        case None => Some(chapterOnly)
+      }
+    }
+
+    private def tryGroup(pos: Int): Option[Group] =
+      tryChapterGroup(pos).orElse(trySectionGroup(pos, None, None))
+
+    // -------------------------------------------------------- law tails
+    private sealed trait Tail { def end: Int }
+    /** "i lagen (1998:674)" — law id linked separately. */
+    private case class AnonTail(end: Int, law: String,
+        strA: (Int, Int), idSpan: (Int, Int), strB: (Int, Int)) extends Tail
+    /** "brottsbalken" / "elberedskapslagen (1997:288)" — merged links. */
+    private case class NamedTail(end: Int, law: Option[String]) extends Tail
+    /** "samma lag" — resolves to lastLaw. */
+    private case class SameTail(end: Int, law: Option[String]) extends Tail
+
+    private def tryLawTail(pos: Int): Option[Tail] = {
+      val wm = at(Ws, pos).getOrElse(return None)
+      var p = wm.end
+      // optional "i "
+      at(In, p).foreach { im => if (at(LawSynonym, im.end).isDefined ||
+        at(NamedLawWord, im.end).isDefined) p = im.end }
+      at(SameLaw, p) match {
+        case Some(sm) =>
+          return Some(SameTail(sm.end, lastLaw))
+        case None => ()
+      }
+      // named law word (strict suffix-inside-word) beats bare synonym
+      at(NamedLawWord, p).filterNot(m => isBareSynonym(m.group(1))) match {
+        case Some(nm) =>
+          val name = nm.group(1)
+          val afterWs = at(Ws, nm.end)
+          val idm = afterWs.flatMap(w => at(SfsNr, w.end))
+          idm match {
+            case Some(im) =>
+              val law = im.group(1)
+              learned(normalizeLawName(name)) = law
+              return Some(NamedTail(im.end, Some(law)))
+            case None =>
+              return Some(NamedTail(nm.end, resolveName(name)))
+          }
+        case None => ()
+      }
+      // anonymous: LawSynonym WS ( id )
+      at(LawSynonym, p) match {
+        case Some(lm) =>
+          for {
+            w2 <- at(Ws, lm.end)
+            im <- at(SfsNr, w2.end)
+          } {
+            // str up to and incl. '('; id link; str from ')'
+            val idFrom = s.indexOf(im.group(1), im.start)
+            val idTo = idFrom + im.group(1).length
+            return Some(AnonTail(im.end, im.group(1),
+              (pos, idFrom), (idFrom, idTo), (idTo, im.end)))
+          }
+          None
+        case None => None
+      }
+    }
+
+    // ------------------------------------------------------ root parses
+    /** ChangeRef: "Lag (1997:289)." (lagrum.ebnf ChangeRef — a literal
+      * '.' after the SFSNr, or directly followed by non-space/comma). */
+    private def tryChangeRef(pos: Int): Option[(Int, Vector[Seg])] = {
+      if (!wordBoundary(pos)) return None
+      val m = at(ChangeRef, pos).getOrElse(return None)
+      val id = m.group(2)
+      val end =
+        if (m.end < s.length && s.charAt(m.end) == '.') m.end + 1
+        else if (m.end >= s.length ||
+                 s.charAt(m.end) == ' ' || s.charAt(m.end) == ',') return None
+        else m.end
+      val uri = uriOf(None, lawref = Some(id)).getOrElse(return None)
+      Some((end, Vector(Seg(s.substring(pos, end), Some(uri)))))
+    }
+
+    /** Standalone named law ("Äktenskapsbalkens", "elberedskapslagen
+      * (1997:288)") — NamedExternalLawRef root (legalref.py:1112-1134). */
+    private def tryNamedLawRoot(pos: Int): Option[(Int, Vector[Seg])] = {
+      if (!wordBoundary(pos)) return None
+      val nm = at(NamedLawWord, pos)
+        .filterNot(m => isBareSynonym(m.group(1))).getOrElse(return None)
+      val name = nm.group(1)
+      val idm = for {
+        w <- at(Ws, nm.end)
+        im <- at(SfsNr, w.end)
+      } yield im
+      idm match {
+        case Some(im) =>
+          val law = im.group(1)
+          learned(normalizeLawName(name)) = law
+          currentLaw = Some(law)
+          val uri = uriOf(Some(law)).get
+          Some((im.end, Vector(Seg(s.substring(pos, im.end), Some(uri)))))
+        case None =>
+          resolveName(name) match {
+            case Some(law) =>
+              currentLaw = Some(law)
+              val uri = uriOf(Some(law)).get
+              Some((nm.end, Vector(Seg(s.substring(pos, nm.end), Some(uri)))))
+            case None => None // unknown name: plain text
+          }
+      }
+    }
+
+    /** Standalone SFS number "(1998:674)" — the parenthesized id is the
+      * link, the parens stay text (SFSNr root; format_SFSNr does NOT set
+      * currentlaw, legalref.py:1106-1110). */
+    private def trySfsNrRoot(pos: Int): Option[(Int, Vector[Seg])] = {
+      if (s.charAt(pos) != '(') return None
+      val m = at(SfsNr, pos).getOrElse(return None)
+      val id = m.group(1)
+      val idFrom = s.indexOf(id, pos)
+      val idTo = idFrom + id.length
+      val uri = uriOf(Some(id)).get
+      Some((m.end, Vector(
+        Seg(s.substring(pos, idFrom)),
+        Seg(id, Some(uri)),
+        Seg(s.substring(idTo, m.end)))))
+    }
+
+    private var currentLaw: Option[String] = None
+
+    /** The workhorse: MultipleGenericRefs + optional law tail
+      * (lagrum.ebnf ExternalRefs / sfsrefs). */
+    private def tryRefsPhrase(pos: Int): Option[(Int, Vector[Seg])] = {
+      if (!wordBoundary(pos)) return None
+      if (!Character.isDigit(s.charAt(pos))) return None
+      val groups = mutable.ArrayBuffer.empty[Group]
+      val gseps = mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = pos
+      var go = true
+      while (go) {
+        tryGroup(p) match {
+          case Some(g) =>
+            groups += g
+            p = g.end
+            // group separator + another group?
+            val sep = at(CommaSep, p).orElse(at(ConjSep, p))
+            sep match {
+              case Some(sm) if tryGroup(sm.end).isDefined =>
+                gseps += ((sm.start, sm.end))
+                p = sm.end
+              case _ => go = false
+            }
+          case None =>
+            if (groups.isEmpty) return None
+            go = false
+        }
+      }
+      val nSecIds = groups.map(_.nSecIds).sum
+      // a root with no section terminal must be a chapter ref to count
+      if (nSecIds == 0 && !groups.exists(_.chapter.isDefined)) return None
+
+      val tail = tryLawTail(p)
+      val law: Option[String] = tail match {
+        case Some(AnonTail(_, l, _, _, _)) => currentLaw = Some(l); Some(l)
+        case Some(NamedTail(_, Some(l))) => currentLaw = Some(l); Some(l)
+        case Some(NamedTail(e, None)) =>
+          // unknown named law: bail out, whole phrase stays text
+          // (format_ExternalRefs, legalref.py:1030-1035)
+          return Some((e, Vector(Seg(s.substring(pos, e)))))
+        case Some(SameTail(_, l)) =>
+          currentLaw = l; l // None → base law (reference logs + completes)
+        case None => None
+      }
+      val end = tail.map(_.end).getOrElse(p)
+
+      // single-link merge: one group, one section id, non-anonymous tail
+      val merged = tail match {
+        case Some(_: NamedTail) | Some(_: SameTail)
+          if groups.size == 1 && nSecIds == 1 => true
+        case _ => false
+      }
+      val anaphoric = tail.exists(_.isInstanceOf[SameTail])
+      if (merged) {
+        val l0 = groups.head.pieces.collectFirst { case Right(pl) => pl }.get
+        val uri = uriOf(law, l0.chapter, l0.section, l0.piece, l0.item)
+        return Some((end,
+          Vector(Seg(s.substring(pos, end), uri, anaphoric))))
+      }
+
+      // piecewise rendering
+      val segs = Vector.newBuilder[Seg]
+      groups.toVector.zipWithIndex.foreach { case (g, gi) =>
+        g.pieces.foreach {
+          case Left((f, t)) => segs += Seg(s.substring(f, t))
+          case Right(pl) =>
+            segs += Seg(s.substring(pl.from, pl.to),
+              uriOf(law, pl.chapter, pl.section, pl.piece, pl.item),
+              anaphoric)
+        }
+        if (gi < gseps.size)
+          segs += Seg(s.substring(gseps(gi)._1, gseps(gi)._2))
+      }
+      tail.foreach {
+        case AnonTail(_, l, (sa, sb), (ia, ib), (ba, bb)) =>
+          segs += Seg(s.substring(sa, sb))
+          segs += Seg(s.substring(ia, ib), uriOf(Some(l)))
+          segs += Seg(s.substring(ba, bb))
+        case NamedTail(e, Some(l)) =>
+          // multi-ref + named law: the name links to the law itself
+          segs += Seg(s.substring(p, e).takeWhile(_.isWhitespace))
+          val nameFrom = p + s.substring(p, e).takeWhile(_.isWhitespace).length
+          segs += Seg(s.substring(nameFrom, e), uriOf(Some(l)))
+        case SameTail(e, _) =>
+          segs += Seg(s.substring(p, e)) // plain (rare shape, no fixture)
+        case _ => ()
+      }
+      Some((end, segs.result()))
+    }
+
+    // ------------------------------------------------------------ parse
+    def parse(text: String): Vector[Seg] = {
+      s = text
+      val out = Vector.newBuilder[Seg]
+      val plain = new StringBuilder
+      var p = 0
+      def flushPlain(): Unit =
+        if (plain.nonEmpty) { out += Seg(plain.toString); plain.clear() }
+      while (p < s.length) {
+        currentLaw = None
+        val c = s.charAt(p)
+        val hit: Option[(Int, Vector[Seg])] =
+          if (Character.isDigit(c)) tryRefsPhrase(p)
+          else if (c == '(') trySfsNrRoot(p)
+          else if (Character.isLetter(c))
+            tryChangeRef(p).orElse(tryNamedLawRoot(p))
+          else None
+        hit match {
+          case Some((np, segs)) =>
+            flushPlain()
+            segs.foreach(out += _)
+            if (currentLaw.isDefined) lastLaw = currentLaw
+            currentLaw = None
+            p = np
+          case None =>
+            plain.append(c)
+            p += 1
+        }
+      }
+      flushPlain()
+      // concatenate adjacent plain segments (the reference's normres pass)
+      out.result().foldLeft(Vector.empty[Seg]) { (acc, seg) =>
+        acc.lastOption match {
+          case Some(last) if last.uri.isEmpty && seg.uri.isEmpty =>
+            acc.init :+ Seg(last.text + seg.text)
+          case _ => acc :+ seg
+        }
+      }
+    }
+  }
+}

@@ -161,6 +161,7 @@ object DocParsers {
     Entry("md", _.path.endsWith(".md"), MdDoc.parse),
     Entry("html", p => p.path.endsWith(".html") || p.path.endsWith(".htm"),
       HtmlDoc.parse),
+    Entry("law", _.path.endsWith(".law"), p => LawDoc.parse(p)),
     Entry("rfc", _ => true, RfcDoc.parse)) // catch-all, lowest priority
 
   def parse(src: SourceFile): RfcDoc.Parsed =
