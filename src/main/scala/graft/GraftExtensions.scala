@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, Slug}
+import graft.functions.{MinHashSig, RelUrl, Slug}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * Catalyst functions so they're usable from SQL and `expr(...)`.
@@ -28,7 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("minhash_sig"),
         info("minhash_sig", "_FUNC_(str) - 64-perm MinHash signature aggregate"),
         (children: Seq[Expression]) => MinHashSig(children.head))
+    val relurl: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+      (FunctionIdentifier("relurl"),
+        info("relurl", "_FUNC_(url, start) - relative URL from start to url"),
+        (children: Seq[Expression]) => RelUrl(children(0), children(1)))
     ext.injectFunction(slug)
     ext.injectFunction(minhash)
+    ext.injectFunction(relurl)
   }
 }

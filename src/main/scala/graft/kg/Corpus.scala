@@ -160,15 +160,18 @@ object Corpus {
   /** One archived version of a source file (list_versions/archive axis,
     * /root/reference/ferenda/documentstore.py:622-693, 787-825). */
   final case class VersionRow(repo: String, path: String, commit: String,
-      seq: Int, sha256: String)
+      seq: Int, sha256: String, committedAt: String)
 
   /** Deterministic version history for document i: 1-3 commits per file,
-    * seq ascending (highest = current). Pure function of (seed, i, n) —
+    * seq ascending (highest = current), committedAt an ISO date monotone
+    * in seq (the store's archive timestamps — temporal as-of resolution,
+    * documentstore.py:622-693). Pure function of (seed, i, n) —
     * executor-generable. sha256 differs per version (content changed). */
   def versionsFor(seed: Long, i: Long, n: Long): Seq[VersionRow] = {
     val r = new Rng(seed ^ (i * 0xd6e8feb86659fd93L) ^ 0x8febc10735a2b9edL)
     val d = doc(seed, i, n)
     val nVersions = 1 + r.nextInt(3)
+    val epochDay = 18262L + (i * 13 % 1000) // 2020-01-01 + per-file offset
     (0 until nVersions).map { v =>
       val commit =
         if (v == nVersions - 1) d.src.commit // latest = the corpus commit
@@ -178,7 +181,9 @@ object Corpus {
           graft.parse.RfcDoc.sha256Hex(d.src.content)
         else f"${r.nextLong()}%016x${r.nextLong()}%016x" +
           f"${r.nextLong()}%016x${r.nextLong()}%016x"
-      VersionRow(d.src.repo, d.src.path, commit, v, sha)
+      val committedAt =
+        java.time.LocalDate.ofEpochDay(epochDay + v * 90L).toString
+      VersionRow(d.src.repo, d.src.path, commit, v, sha, committedAt)
     }
   }
 

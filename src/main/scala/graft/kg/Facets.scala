@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Facets {
 
+  // ------------------------------------------------ index field types
+  /** Typed search-index field (fulltextindex.py's IndexedType hierarchy:
+    * Identifier/Label/Text(boost)/DateTime). Equality = same type AND
+    * same boost — the schema-conflict criterion. */
+  sealed trait IndexType
+  case object Identifier extends IndexType
+  case object Label extends IndexType
+  final case class Text(boost: Double = 1.0) extends IndexType
+  case object DateTime extends IndexType // range-filterable (Between/Less/More)
+
+  /** fulltextindex.errors.SchemaConflictError: two repos declared the
+    * same field with different index types. */
+  final case class SchemaConflictError(msg: String)
+      extends RuntimeException(msg)
+
   final case class Facet(
       pred: String,
       /** column name in the faceted table (the SPARQL binding name) */
@@ -25,20 +40,70 @@ object Facets {
       /** key for ordering docs within a group (facet.py:195-210) */
       sortKey: Column => Column = Selectors.titleSortKey,
       multipleValues: Boolean = false,
-      useForToc: Boolean = true)
+      useForToc: Boolean = true,
+      /** how a search index should type this field (facet.indexingtype,
+        * facet.py; drives make_schema + per-field boosts) */
+      indexingType: IndexType = Label)
 
   /** The reference's stock facet set for an RFC-like repo
     * (rdf:type, dcterms:title, dcterms:publisher, dcterms:issued year,
-    * dcterms:subject — rfc.py facets + facet.py defaults). */
+    * dcterms:subject — rfc.py facets + facet.py defaults). Index types
+    * mirror the reference's field typing: title is boosted Text,
+    * identifier is a strongly-boosted Label-ish Text, issued is a
+    * range-filterable DateTime. */
   val defaultFacets: Seq[Facet] = Seq(
-    Facet(Vocab.RDF_TYPE, "rdf_type", selector = Selectors.uriLeaf(_)),
-    Facet(Vocab.dcterms("title"), "title"),
+    Facet(Vocab.RDF_TYPE, "rdf_type", selector = Selectors.uriLeaf(_),
+      indexingType = Label),
+    Facet(Vocab.dcterms("title"), "title", indexingType = Text(4.0)),
     Facet(Vocab.dcterms("publisher"), "publisher",
-      selector = Selectors.uriLeaf(_)),
+      selector = Selectors.uriLeaf(_), indexingType = Label),
     Facet(Vocab.dcterms("issued"), "issued",
-      selector = c => substring(c, 1, 4)), // year of gYearMonth/date
+      selector = c => substring(c, 1, 4), // year of gYearMonth/date
+      indexingType = DateTime),
     Facet(Vocab.dcterms("subject"), "category",
-      selector = Selectors.uriLeaf(_)))
+      selector = Selectors.uriLeaf(_), indexingType = Label))
+
+  /** Search-surface facet set: the default facets plus the boosted
+    * identifier field the REST search uses (fulltextindex.py:260-333's
+    * typed fields with per-field boosts). */
+  val searchFacets: Seq[Facet] = defaultFacets :+
+    Facet(Vocab.dcterms("identifier"), "identifier", indexingType = Text(2.0))
+
+  /** Baseline fields every index carries (get_default_schema,
+    * fulltextindex.py:86-94). */
+  val defaultSchema: Map[String, IndexType] = Map(
+    "uri" -> Identifier, "repo" -> Label, "basefile" -> Label,
+    "text" -> Text())
+
+  /** make_schema (fulltextindex.py:65-84): fold every repo's facet list
+    * into one typed field schema. Several repos may declare the SAME
+    * field only when the index types agree — otherwise
+    * [[SchemaConflictError]], exactly the reference's rule. */
+  def makeSchema(repoFacets: Seq[(String, Seq[Facet])]): Map[String, IndexType] =
+    repoFacets.foldLeft(defaultSchema) { case (schema, (repo, facets)) =>
+      facets.foldLeft(schema) { (s, f) =>
+        s.get(f.binding) match {
+          case Some(existing) if existing != f.indexingType =>
+            throw SchemaConflictError(
+              s"Repo $repo wanted to add a field named ${f.binding}, but " +
+                "it was already present with a different IndexType " +
+                s"($existing vs ${f.indexingType})")
+          case Some(_) => s
+          case None => s + (f.binding -> f.indexingType)
+        }
+      }
+    }
+
+  /** Per-predicate boost table derived from a schema'd facet list —
+    * the boosted-search query reads its weights from HERE, not from
+    * hardcoded literals. Non-Text fields weigh 1.0. */
+  def boostFor(facets: Seq[Facet]): Map[String, Double] =
+    facets.map { f =>
+      f.pred -> (f.indexingType match {
+        case Text(b) => b
+        case _ => 1.0
+      })
+    }.toMap
 
   /** faceted_data (documentrepository.py:2235-2291): one row per document
     * URI with one column per facet — filter + per-predicate aggregation

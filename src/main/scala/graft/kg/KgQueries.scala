@@ -363,19 +363,25 @@ object KgQueries {
 
   /** Boosted multi-field search (fulltextindex.py:260-333: typed fields
     * with per-field boosts + Between/Less/More range modifiers): term
-    * matches are counted per literal, weighted by field (title ×4,
-    * identifier ×2, other literals ×1), summed per document, then
-    * range-filtered on issued year (the Between modifier). Integer counts
-    * × exact-binary boosts keep the double sum fp-exact for the oracle. */
+    * matches are counted per literal, weighted per field, summed per
+    * document, then range-filtered on issued year (the Between modifier).
+    * The field/boost table comes from the DERIVED index schema
+    * (Facets.makeSchema over the searchFacets — conflicting declarations
+    * would have thrown SchemaConflictError), not hardcoded literals.
+    * Integer counts × exact-binary boosts keep the double sum fp-exact
+    * for the oracle. */
   def searchBoosted(spark: SparkSession, dir: String,
                     term: String = "protocol",
                     yearFrom: Int = 1995, yearTo: Int = 2020): DataFrame = {
     val tr = t(ctx(spark))
     val lo = lower(col("obj"))
     val cnt = (length(lo) - length(regexp_replace(lo, term, ""))) / term.length
-    val boost = when(col("pred") === Vocab.dcterms("title"), lit(4.0))
-      .when(col("pred") === Vocab.dcterms("identifier"), lit(2.0))
-      .otherwise(lit(1.0))
+    // schema derivation validates the facet declarations (conflict check)
+    Facets.makeSchema(Seq("rfc" -> Facets.searchFacets))
+    val boosts = Facets.boostFor(Facets.searchFacets).filter(_._2 != 1.0)
+    val boost = boosts.foldLeft(when(lit(false), lit(1.0))) {
+      case (acc, (pred, b)) => acc.when(col("pred") === pred, lit(b))
+    }.otherwise(lit(1.0))
     val scored = tr.filter(col("objIsLiteral"))
       .withColumn("c", cnt).filter(col("c") > 0)
       .groupBy(col("subj").as("uri"))
@@ -460,6 +466,13 @@ object KgQueries {
   def asofVersions(spark: SparkSession, dir: String): DataFrame =
     Versions.asOf(versionsTable(spark), 1).orderBy("repo", "path")
 
+  /** TEMPORAL time-travel: the store as of a calendar date (the archive
+    * timestamps are monotone per file). The cutoff lands mid-corpus so
+    * both "older version wins" and "file absent" cases occur. */
+  def asofDateVersions(spark: SparkSession, dir: String,
+                       date: String = "2021-06-30"): DataFrame =
+    Versions.asOfDate(versionsTable(spark), date).orderBy("repo", "path")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_pipeline_triples" -> pipelineTriples,
     "kg_facet_pivot" -> facetPivot,
@@ -481,6 +494,7 @@ object KgQueries {
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_latest_versions" -> latestVersions,
     "kg_asof_versions" -> asofVersions,
+    "kg_asof_date_versions" -> ((s, d) => asofDateVersions(s, d)),
     "kg_law_refs" -> lawRefs,
   )
 
@@ -805,7 +819,7 @@ object KgQueries {
            uri, score, year
          FROM hits""",
     "kg_latest_versions" ->
-      """SELECT repo, path, commit, seq, sha256
+      """SELECT repo, path, commit, seq, sha256, committedAt
          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
                ORDER BY seq DESC) AS rk
                FROM read_parquet('__BASE__/kg_versions/*.parquet'))
@@ -818,11 +832,18 @@ object KgQueries {
          FROM read_parquet('__BASE__/kg_law_mentions/*.parquet')
          GROUP BY 1""",
     "kg_asof_versions" ->
-      """SELECT repo, path, commit, seq, sha256
+      """SELECT repo, path, commit, seq, sha256, committedAt
          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
                ORDER BY seq DESC) AS rk
                FROM read_parquet('__BASE__/kg_versions/*.parquet')
                WHERE seq <= 1)
+         WHERE rk = 1""",
+    "kg_asof_date_versions" ->
+      """SELECT repo, path, commit, seq, sha256, committedAt
+         FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+               ORDER BY committedAt DESC, seq DESC) AS rk
+               FROM read_parquet('__BASE__/kg_versions/*.parquet')
+               WHERE committedAt <= '2021-06-30')
          WHERE rk = 1""",
   )
 }

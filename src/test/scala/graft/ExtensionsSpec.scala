@@ -29,6 +29,29 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaExpr.toSeq == viaScala)
   }
 
+  test("relurl matches the reference's util.relurl doctest semantics") {
+    import spark.implicits._
+    // the reference's own doctest cases (util.py:172-191) + edges
+    val cases = Seq(
+      ("http://example.org/other/index.html",
+        "http://example.org/main/index.html", "../other/index.html"),
+      ("http://other.org/foo.html",
+        "http://example.org/bar.html", "http://other.org/foo.html"),
+      ("http://example.org/main/sub/a.html",
+        "http://example.org/main/index.html", "sub/a.html"),
+      ("http://example.org/main/index.html",
+        "http://example.org/main/other.html", "index.html"),
+      ("http://example.org/a/b.html?q=1#frag",
+        "http://example.org/a/c.html", "b.html?q=1#frag"))
+    val got = cases.map(c => (c._1, c._2)).toDF("u", "s")
+      .select(expr("relurl(u, s)")).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._3))
+    // static path agrees with the expression path
+    cases.foreach { case (u, s, want) =>
+      assert(graft.functions.Expressions.relurlStr(u, s) == want)
+    }
+  }
+
   test("minhash_sig aggregate equals the typed-map fallback") {
     import spark.implicits._
     val sh = Seq(

@@ -52,4 +52,39 @@ class FacetsSpec extends AnyFunSuite with BeforeAndAfterAll {
       !s.contains(" ") && s == s.toLowerCase
     }))
   }
+
+  test("makeSchema: typed fields derived from facets; conflicts rejected") {
+    import graft.model.Vocab
+    // single repo: default schema + one typed field per facet binding
+    val schema = Facets.makeSchema(Seq("rfc" -> Facets.searchFacets))
+    assert(schema("uri") == Facets.Identifier)   // default fields kept
+    assert(schema("text") == Facets.Text())
+    assert(schema("title") == Facets.Text(4.0))
+    assert(schema("identifier") == Facets.Text(2.0))
+    assert(schema("issued") == Facets.DateTime)
+    assert(schema("publisher") == Facets.Label)
+
+    // two repos sharing a field with the SAME type: allowed
+    val repoB = Seq(Facets.Facet(Vocab.dcterms("title"), "title",
+      indexingType = Facets.Text(4.0)))
+    assert(Facets.makeSchema(
+      Seq("rfc" -> Facets.searchFacets, "b" -> repoB))("title")
+      == Facets.Text(4.0))
+
+    // two repos sharing a field with DIFFERENT types: SchemaConflictError
+    val repoC = Seq(Facets.Facet(Vocab.dcterms("title"), "title",
+      indexingType = Facets.Label))
+    val e = intercept[Facets.SchemaConflictError] {
+      Facets.makeSchema(Seq("rfc" -> Facets.searchFacets, "c" -> repoC))
+    }
+    assert(e.getMessage.contains("title"))
+  }
+
+  test("boostFor: the boosted-search weights come from the facet schema") {
+    import graft.model.Vocab
+    val boosts = Facets.boostFor(Facets.searchFacets)
+    assert(boosts(Vocab.dcterms("title")) == 4.0)
+    assert(boosts(Vocab.dcterms("identifier")) == 2.0)
+    assert(boosts(Vocab.dcterms("publisher")) == 1.0)
+  }
 }

@@ -21,26 +21,66 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
 
   test("asset table: binary payload + typed metadata struct") {
-    val a = MultiModal.assets(spark, dir)
-    val schema = a.schema
+    val a = MultiModal.assets(spark, dir).orderBy("asset_id").collect()
+    val schema = MultiModal.assets(spark, dir).schema
     assert(schema("payload").dataType.typeName == "binary")
     assert(schema("meta").dataType.typeName == "struct")
-    val row = a.orderBy("asset_id").first()
-    assert(row.getAs[Array[Byte]]("payload").length == 32) // sha256 bytes
-    val meta = row.getStruct(row.fieldIndex("meta"))
-    assert(meta.getAs[String]("codec") == "stub/v1")
-    assert(meta.getAs[Int]("width") >= 64)
-    assert(a.select("modality").distinct().count() == 3)
+    a.foreach { row =>
+      val payload = row.getAs[Array[Byte]]("payload")
+      val meta = row.getStruct(row.fieldIndex("meta"))
+      row.getAs[String]("modality") match {
+        case "image" =>
+          // REAL PNG bytes: magic header + the advertised dimensions
+          assert(payload.take(8).map(_ & 0xff).toSeq ==
+            Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+          assert(meta.getAs[String]("codec") == "image/png")
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          assert(img.getWidth == meta.getAs[Int]("width"))
+          assert(img.getHeight == meta.getAs[Int]("height"))
+        case _ =>
+          assert(payload.length == 32) // sha256 pseudo-bytes
+          assert(meta.getAs[String]("codec") == "stub/v1")
+          assert(meta.getAs[Int]("width") >= 64)
+      }
+    }
+    assert(a.map(_.getAs[String]("modality")).distinct.length == 3)
   }
 
-  test("feature extraction: histogram sums to payload length, deterministic") {
+  test("PNG encode/decode round-trip: histogram equals direct computation") {
+    val seed = Array.tabulate(32)(i => (i * 37 + 5).toByte)
+    val png = MultiModal.pngEncode(seed, 12, 9)
+    val viaPng = MultiModal.decodeImage(png)
+    // direct luminance histogram from the same pixel formula, no codec
+    val direct = new Array[Int](16)
+    var i = 0
+    for (_ <- 0 until 9; _ <- 0 until 12) {
+      val v = seed(i % seed.length) & 0xff
+      val (r, g, b) = (v, (v * 7) & 0xff, (v * 13) & 0xff)
+      val lum = (0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255)
+      direct(lum >> 4) += 1
+      i += 1
+    }
+    assert(viaPng.toSeq == direct.toSeq)
+    assert(viaPng.sum == 12 * 9)
+  }
+
+  test("feature extraction: histogram sums to pixel/byte count, deterministic") {
     val f = MultiModal.extractFeatures(MultiModal.assets(spark, dir))
       .orderBy("asset_id").collect()
     assert(f.length == 500)
-    f.take(20).foreach { r =>
+    val metaByid = MultiModal.assets(spark, dir)
+      .select(col("asset_id"), col("meta.width"), col("meta.height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    f.take(30).foreach { r =>
       val hist = r.getSeq[Int](2)
       assert(hist.length == 16)
-      assert(hist.sum == 32) // sha256 payload = 32 bytes
+      r.getString(1) match {
+        case "image" =>
+          val (w, h) = metaByid(r.getLong(0))
+          assert(hist.sum == w * h) // one histogram entry per decoded pixel
+        case _ => assert(hist.sum == 32) // sha256 payload = 32 bytes
+      }
       val e = r.getDouble(3)
       assert(e >= 0.0 && e <= 4.0) // 16 buckets -> max 4 bits
     }
