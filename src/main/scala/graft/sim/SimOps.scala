@@ -357,9 +357,12 @@ object SimOps {
   def embeddingNeardupGroups(spark: SparkSession, dir: String,
                              threshold: Double = 0.45): DataFrame = {
     // reuse the cached 0.4-threshold scan and re-filter — the blocked scan
-    // dominates, the threshold only trims its output
+    // dominates, the threshold only trims its output. Goes through the
+    // SIZE-GATED pair operator: exact below ExactPairsMaxRows (which the
+    // CC oracle requires at test scale), LSH-candidates + exact-verify
+    // above (near-dup grouping tolerates approximate recall at 100 TB).
     val base = math.min(threshold, 0.4)
-    val pairs = cosinePairs(spark, dir, base)
+    val pairs = cosinePairsAuto(spark, dir, base)
       .filter(col("cos") >= threshold)
       .select(col("vec_a").cast("string").as("src"),
         col("vec_b").cast("string").as("dst"))
