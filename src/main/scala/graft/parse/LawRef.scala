@@ -29,11 +29,13 @@ import scala.collection.mutable
   *
   * The implementation is a hand-rolled recursive-descent scanner with
   * backtracking — NOT a port of the SimpleParse table engine; the EBNF
-  * files only document WHAT to recognize. Scoped to the grammar subset the
-  * golden fixtures exercise (section/chapter/piece refs, lists, ranges,
-  * anonymous/named/same-law tails, change refs, SFS numbers); items,
-  * sentences ("meningen") and compound law names are out of scope this
-  * round.
+  * files only document WHAT to recognize. Coverage: ALL 76 SFS fixtures
+  * the reference's own suite runs green parse byte-identically (the 6 it
+  * marks expectedFailure are excluded, as in its own harness) —
+  * section/chapter/piece/sentence ("meningen")/element ("mom.")/item
+  * ("punkten", letters, parenthesised) references, lists and ranges,
+  * anonymous/named/compound/same-law tails, change refs, NOBASE mode,
+  * NBSP whitespace, archaic page-suffixed SFS ids.
   */
 object LawRef {
 
@@ -54,9 +56,11 @@ object LawRef {
       baseLaw: Option[String] = Some("9999:999"),
       namedLaws: Map[String, String] = Map.empty)
 
-  /** normalize_lawname (legalref.py:618-622): lowercase + strip genitive. */
+  /** normalize_lawname (legalref.py:618-622): lowercase + strip genitive;
+    * internal whitespace runs collapse to one space (compound names may
+    * break across lines). */
   def normalizeLawName(name: String): String = {
-    val n = name.toLowerCase
+    val n = name.toLowerCase.replaceAll("[\\s\\u00a0]+", " ")
     if (n.endsWith("s")) n.dropRight(1) else n
   }
 
@@ -75,7 +79,10 @@ object LawRef {
     "nionde" -> "9")
 
   // ------------------------------------------------------------ patterns
-  private def re(p: String): Pattern = Pattern.compile(p)
+  /** NBSP (0xA0) counts as whitespace — the reference's base.ebnf
+    * Whitespace class contains a literal A0 byte (the nbsp fixture). */
+  private def re(p: String): Pattern =
+    Pattern.compile(p.replace("\\s", "[\\s\\u00a0]"))
 
   private val Ws = re("\\s+")
   /** SectionRefID: number + optional single a-n letter not followed by a
@@ -86,19 +93,49 @@ object LawRef {
     "([0-9]+)(\\s+[a-zåäö](?![\\p{L}0-9]))?\\s+[Kk]ap\\.?(?![\\p{L}])")
   private val SectionMark = re("\\s+(§§|§)")
   private val RangeSep = re("\\s*--?\\s*")
+  /** ", och " before CommaSep: the Oxford-comma shape
+    * (CommaSpaceAndWhitespace in lagrum.ebnf). */
+  private val CommaConjSep = re(",\\s+(och|eller|samt)\\s+")
   private val CommaSep = re(",\\s+")
   private val ConjSep = re("\\s+(och|eller|samt)\\s+")
   private val Ordinal = re(
     "(första|andra|tredje|fjärde|femte|sjätte|sjunde|åttonde|nionde)(?![\\p{L}])")
-  private val PieceWord = re("\\s+(styckena|stycket)(?![\\p{L}])")
+  private val PieceWord = re("\\s+(styckena|stycket|st\\.|st)(?![\\p{L}])")
+  /** Digit piece ordinal — only valid with an "st."-style word directly
+    * after ("2 st.", base.ebnf ordinal's [1-9] branch). */
+  private val DigitOrdinal = re("([1-9])(?![0-9])")
+  private val Mening = re("\\s+(meningen|meningarna)(?![\\p{L}])")
+  private val MomWord = re("\\s+mom\\.?(?![\\p{L}])")
+  private val Punkten = re("\\s+punkten(?![\\p{L}])")
+  private val BareNum = re("([0-9]+)(?![\\p{L}0-9])")
+  /** ItemRefID: number + optional single letter (ItemRefChar = [a-h j-z],
+    * 'i' excluded so "2 b i denna paragraf" ends at 'b'), optionally
+    * followed by '.' or ')' (ItemRef ::= ItemRefID Period? RightParen?,
+    * included in the link text but not the fragment). */
+  private val ItemId = re(
+    "([0-9]+)(\\s+[a-hj-z](?![\\p{L}0-9]))?[.)]?(?![\\p{L}0-9])")
+  /** "anvisningarna punkt N" — the reversed item-before-piece shape
+    * (lagrum.ebnf ItemNumericRef / SectionPieceItemRef alt 2). */
+  /** Bare-letter item ("10 § f" → Nf; ItemRefID's letter branch). */
+  private val ItemLetter = re("([a-hj-z])[.)]?(?![\\p{L}0-9])")
+  private val AnvisPunkt = re(
+    "\\s+anvisningarna\\s+punkt\\s+([0-9]+)(?![\\p{L}0-9])")
+  /** A number that is actually the start of a section reference ("7 §",
+    * "4 a §") — the EBNF's `?-' §'` item guard. */
+  private val NumIsSection = re(
+    "[0-9]+(?:\\s+[a-n](?![\\p{L}0-9]))?\\s+§")
   /** LawRefID (lagrum.ebnf): year:number with the archaic page suffix
     * ("1736:0123 s. 2"). */
   private val SfsId = re("([0-9]{4}:[0-9]+(?:\\s+s\\.?\\s*[0-9]+)?)")
   private val SfsNr = re("\\(\\s*([0-9]{4}:[0-9]+(?:\\s+s\\.?\\s*[0-9]+)?)\\s*\\)")
   /** Word carrying a law-name suffix STRICTLY inside it (re_escape_named,
-    * legalref.py:85-86: at least one word char before the suffix). */
+    * legalref.py:85-86: at least one word char before the suffix), OR a
+    * compound name ("offentlighets- och sekretesslagen" —
+    * re_escape_compound, legalref.py:83-84). */
   private val NamedLawWord = re(
-    "([\\p{L}][\\p{L}-]*?(?:lagen|balken|förordningen|formen|ordningen|" +
+    "([\\p{L}][\\p{L}-]*-\\s+och\\s+[\\p{L}][\\p{L}-]*?" +
+      "(?:lagen|förordningen)s?" +
+      "|[\\p{L}][\\p{L}-]*?(?:lagen|balken|förordningen|formen|ordningen|" +
       "kungörelsen|stadgan)s?)(?![\\p{L}])")
   private val LawSynonym = re(
     "(lagen|lagens|balken|balkens|förordningen|förordningens|kungörelsen|" +
@@ -118,6 +155,14 @@ object LawRef {
   final class Parser(conf: Conf) {
     private var lastLaw: Option[String] = None
     private val learned = mutable.HashMap.empty[String, String]
+    /** Per-parse base law. In NOBASE mode (base None) every law mention
+      * updates it — the reference's format_SFSNr / NamedExternalLawRef
+      * nobaseuri behavior (legalref.py:1106-1110, 1137). */
+    private var baseLaw: Option[String] = conf.baseLaw
+    private var noBase: Boolean = conf.baseLaw.isEmpty
+
+    /** The test driver's RESET: marker (clears learned names only). */
+    def resetLearned(): Unit = learned.clear()
 
     // --------------------------------------------------------- helpers
     private var s: String = ""
@@ -144,13 +189,20 @@ object LawRef {
                       section: Option[String] = None,
                       piece: Option[String] = None,
                       item: Option[String] = None,
-                      lawref: Option[String] = None): Option[String] = {
-      val l = law.orElse(conf.baseLaw).getOrElse(return None)
+                      lawref: Option[String] = None,
+                      sentence: Option[String] = None,
+                      element: Option[String] = None): Option[String] = {
+      val l = law.orElse(baseLaw).getOrElse(return None)
       val frag = new StringBuilder
       lawref.foreach(r => frag.append("L").append(r))
       chapter.foreach(c => frag.append("K").append(secIdNorm(c)))
       section.foreach(x => frag.append("P").append(secIdNorm(x)))
-      piece.foreach(x => frag.append("S").append(x))
+      element.foreach(x => frag.append("O").append(x)) // 'mom.' (Element)
+      // an item without an explicit piece means "first piece"
+      // (sfs_format_uri, legalref.py:857-858)
+      piece.orElse(if (item.isDefined) Some("1") else None)
+        .foreach(x => frag.append("S").append(x))
+      sentence.foreach(x => frag.append("M").append(x))
       item.foreach(x => frag.append("N").append(x))
       Some(conf.base + lawIdToUriPart(l) +
         (if (frag.nonEmpty) "#" + frag else ""))
@@ -177,7 +229,7 @@ object LawRef {
     private final case class PLink(from: Int, to: Int,
         chapter: Option[String], section: Option[String],
         piece: Option[String], item: Option[String] = None,
-        fixedUri: Option[String] = None) // pre-resolved (law id links)
+        sentence: Option[String] = None, element: Option[String] = None)
     private final case class Group(pieces: Vector[Either[(Int, Int), PLink]],
         nSecIds: Int, chapter: Option[String], end: Int)
 
@@ -186,57 +238,141 @@ object LawRef {
       * (format_SectionPieceRefs, legalref.py:923-935). Returns
       * (endPos, pieces) or None. `secStart` = span start for the merged
       * first link (includes chapter/section text). */
+    private final case class PieceUnit(from: Int, to: Int, ord: String,
+        hasWord: Boolean, item: Option[String], sentence: Option[String])
+
+    /** One piece unit: ORD, optionally its own "stycket/styckena", an
+      * optional DIRECTLY-adjacent single item ("fjärde stycket 2" /
+      * "andra stycket andra punkten"), and — when asked — a sentence ref
+      * ("första stycket första meningen"). */
+    private def tryPieceUnit(pos: Int, allowSentence: Boolean):
+        Option[PieceUnit] = {
+      // word ordinal ("fjärde", piece word optional) or digit ordinal
+      // ("2 st." — base.ebnf ordinal's [1-9] branch, word REQUIRED)
+      val (ordEnd, ordVal) = at(Ordinal, pos) match {
+        case Some(om) => (om.end, pieceMap(om.group(1)))
+        case None =>
+          val dm = at(DigitOrdinal, pos).getOrElse(return None)
+          if (at(PieceWord, dm.end).isEmpty) return None
+          (dm.end, dm.group(1))
+      }
+      var end = ordEnd
+      var hasWord = false
+      var item: Option[String] = None
+      var sentence: Option[String] = None
+      at(PieceWord, ordEnd).foreach { pm =>
+        hasWord = true
+        end = pm.end
+        // single item: direct-whitespace bare number (not a new section,
+        // not a range head) or "ORD punkten"
+        val it = for {
+          w <- at(Ws, end)
+          im <- at(ItemId, w.end)
+          if at(NumIsSection, w.end).isEmpty
+          if at(re("\\s*--?\\s*[0-9]"), im.end).isEmpty // not a range head
+        } yield (im.end,
+          (im.group(1) + Option(im.group(2)).getOrElse(""))
+            .replaceAll("[\\s\\u00a0]+", ""))
+        val itOrd = it.orElse(for {
+          w <- at(Ws, end)
+          om2 <- at(Ordinal, w.end)
+          pm2 <- at(Punkten, om2.end)
+        } yield (pm2.end, pieceMap(om2.group(1))))
+        itOrd match {
+          case Some((ie, v)) => item = Some(v); end = ie
+          case None if allowSentence =>
+            for {
+              w <- at(Ws, end)
+              om2 <- at(Ordinal, w.end)
+              mm <- at(Mening, om2.end)
+            } {
+              sentence = Some(pieceMap(om2.group(1)))
+              end = mm.end
+            }
+          case None => ()
+        }
+      }
+      Some(PieceUnit(pos, end, ordVal, hasWord, item, sentence))
+    }
+
+    /** Piece tail after "N §": a list of piece units, each possibly with
+      * its own stycke word and item ("fjärde stycket 2 eller femte
+      * stycket"), or bare ordinals terminated by a shared "styckena"
+      * ("andra och tredje styckena"). First unit merges into the section
+      * link; the rest link separately (format_SectionPieceRefs,
+      * legalref.py:923-935). The LAST unit must carry a stycke word. */
     private def tryPieceTail(pos: Int, secStart: Int,
         chapter: Option[String], secId: String):
         Option[(Int, Vector[Either[(Int, Int), PLink]])] = {
       val wm = at(Ws, pos).getOrElse(return None)
       var p = wm.end
-      // collect ordinals + the separators between them
-      val ords = mutable.ArrayBuffer.empty[(Int, Int, String)] // span+word
+      val units = mutable.ArrayBuffer.empty[PieceUnit]
       val seps = mutable.ArrayBuffer.empty[(Int, Int)]
-      var done = false
-      while (!done) {
-        val om = at(Ordinal, p).getOrElse(return None)
-        ords += ((om.start, om.end, om.group(1)))
-        p = om.end
-        at(PieceWord, p) match {
-          case Some(pm) => p = pm.end; done = true
-          case None =>
-            val sep = at(CommaSep, p).orElse(at(ConjSep, p))
-              .getOrElse(return None)
-            seps += ((sep.start, sep.end))
-            p = sep.end
+      var go = true
+      while (go) {
+        tryPieceUnit(p, allowSentence = units.isEmpty) match {
+          case Some(u) =>
+            units += u
+            p = u.to
+            val sep = at(CommaConjSep, p).orElse(at(CommaSep, p))
+              .orElse(at(ConjSep, p))
+            sep match {
+              case Some(sm) if tryPieceUnit(sm.end,
+                  allowSentence = false).isDefined =>
+                seps += ((sm.start, sm.end))
+                p = sm.end
+              case _ => go = false
+            }
+          case None => go = false
         }
       }
+      if (units.isEmpty || !units.last.hasWord) return None
       val out = Vector.newBuilder[Either[(Int, Int), PLink]]
-      if (ords.size == 1) {
-        // single piece: one link "N § andra stycket"
-        out += Right(PLink(secStart, p, chapter, Some(secId),
-          Some(pieceMap(ords.head._3))))
-      } else {
-        // first link: "N § ORD1"; then sep str + one link per ordinal,
-        // the last one extending through "styckena"
-        out += Right(PLink(secStart, ords.head._2, chapter, Some(secId),
-          Some(pieceMap(ords.head._3))))
-        ords.toVector.tail.zipWithIndex.foreach { case ((of, oe, w), i) =>
-          val (sf, se) = seps(i)
-          out += Left((sf, se))
-          val end = if (i == ords.size - 2) p else oe // last gets "styckena"
-          out += Right(PLink(of, end, chapter, Some(secId),
-            Some(pieceMap(w))))
-        }
+      units.zipWithIndex.foreach { case (u, i) =>
+        val from = if (i == 0) secStart else u.from
+        out += Right(PLink(from, u.to, chapter, Some(secId),
+          Some(u.ord), item = u.item, sentence = u.sentence))
+        if (i < seps.size) out += Left((seps(i)._1, seps(i)._2))
       }
       Some((p, out.result()))
     }
 
-    /** Optional numeric item after a piece link ("andra stycket 11" →
-      * …S2N11 — the kapitel-paragraf-stycke fixture shape). */
-    private def tryItemTail(pos: Int, link: PLink):
-        Option[(Int, PLink)] =
-      for {
-        wm <- at(Ws, pos)
-        im <- at(re("([0-9]+)(?![\\p{L}0-9])"), wm.end)
-      } yield (im.end, link.copy(to = im.end, item = Some(im.group(1))))
+
+    /** Bare-number item list after a single '§' or a piece ref
+      * (SectionItemRefs / PieceItemRefs): "1", "1 eller 2", "39 och 40",
+      * "2, 3 eller 4". A number that begins a new section reference
+      * (the `?-' §'` guard) ends the list. Returns (end, items as
+      * (from, to, value)). */
+    private def tryItemList(pos: Int):
+        Option[(Int, Vector[(Int, Int, String)])] = {
+      def item(at0: Int): Option[(Int, Int, String)] =
+        (for {
+          im <- at(ItemId, at0)
+          if at(NumIsSection, at0).isEmpty
+        } yield (im.start, im.end,
+          (im.group(1) + Option(im.group(2)).getOrElse("")).trim
+            .replaceAll("[\\s\\u00a0]+", "")))
+          .orElse(at(ItemLetter, at0).map(im =>
+            (im.start, im.end, im.group(1))))
+      val wm = at(Ws, pos).getOrElse(return None)
+      val first = item(wm.end).getOrElse(return None)
+      val items = mutable.ArrayBuffer(first)
+      var p = first._2
+      var go = true
+      while (go) {
+        val next = for {
+          sep <- at(RangeSep, p).filter(_.end > p)
+            .orElse(at(CommaConjSep, p)).orElse(at(CommaSep, p))
+            .orElse(at(ConjSep, p))
+          it <- item(sep.end)
+        } yield it
+        next match {
+          case Some(it) => items += it; p = it._2
+          case None => go = false
+        }
+      }
+      Some((p, items.toVector))
+    }
 
     /** Section group: a list of section ids ending in §/§§, possibly with
       * a piece tail on a single section (lagrum.ebnf SectionRefs /
@@ -255,7 +391,7 @@ object LawRef {
         at(SectionMark, p) match {
           case Some(mm) => mark = Some((mm.end, mm.group(1)))
           case None =>
-            val sep = at(RangeSep, p)
+            val sep = at(RangeSep, p).orElse(at(CommaConjSep, p))
               .orElse(at(CommaSep, p)).orElse(at(ConjSep, p))
               .getOrElse(return None)
             // the next token must be another section id
@@ -272,18 +408,84 @@ object LawRef {
         // single "N §": piece tail may extend/split it
         tryPieceTail(markEnd, start, chapter, id) match {
           case Some((np, pieces)) =>
-            // optional numeric item on the LAST piece link
-            val (endPos, finalPieces) = pieces.last match {
-              case Right(pl) =>
-                tryItemTail(np, pl) match {
-                  case Some((ip, withItem)) =>
-                    (ip, pieces.init :+ Right(withItem))
-                  case None => (np, pieces)
-                }
-              case _ => (np, pieces)
+            // trailing item list on the last piece ("9 § andra stycket
+            // 2-4." — punktlista): separate links, piece attr carried
+            val lastPl = pieces.last match {
+              case Right(pl) => Some(pl)
+              case _ => None
             }
-            return Some(Group(finalPieces, 1, chapter, endPos))
+            lastPl.filter(_.item.isEmpty).flatMap(pl =>
+              tryItemList(np).map((pl, _))) match {
+              case Some((pl, (ie, its))) =>
+                val out2 = Vector.newBuilder[Either[(Int, Int), PLink]]
+                pieces.foreach(out2 += _)
+                var prev = np
+                its.foreach { case (f2, t2, v) =>
+                  out2 += Left((prev, f2))
+                  out2 += Right(PLink(f2, t2, pl.chapter, pl.section,
+                    pl.piece, item = Some(v)))
+                  prev = t2
+                }
+                return Some(Group(out2.result(), 1, chapter, ie))
+              case None =>
+                return Some(Group(pieces, 1, chapter, np))
+            }
           case None =>
+            // "anvisningarna punkt N [ORD stycket]": reversed
+            // item-before-piece (P41S1N4 — the punktanvisningar shape)
+            if (mark.get._2 == "§") {
+              at(AnvisPunkt, markEnd).foreach { am =>
+                var e2 = am.end
+                var piece: Option[String] = None
+                tryPieceUnit(at(Ws, e2).map(_.end).getOrElse(-1),
+                    allowSentence = false) match {
+                  case Some(u) if u.hasWord && u.item.isEmpty =>
+                    piece = Some(u.ord); e2 = u.to
+                  case _ => ()
+                }
+                out += Right(PLink(start, e2, chapter, Some(id), piece,
+                  item = Some(am.group(1))))
+                return Some(Group(out.result(), 1, chapter, e2))
+              }
+            }
+            // element ref: "29 § 2 mom." → O fragment
+            // (SectionElementRef, base.ebnf Element = 'mom.')
+            if (mark.get._2 == "§") {
+              val el = for {
+                w <- at(Ws, markEnd)
+                im <- at(BareNum, w.end)
+                mm <- at(MomWord, im.end)
+              } yield (mm.end, im.group(1))
+              el.foreach { case (ee, ev) =>
+                out += Right(PLink(start, ee, chapter, Some(id), None,
+                  element = Some(ev)))
+                return Some(Group(out.result(), 1, chapter, ee))
+              }
+            }
+            // bare-number items after a single '§' (SectionItemRefs;
+            // item without explicit piece → piece 1, sfs_format_uri):
+            // one item merges into the section link ("6 § 1"); a list
+            // renders the section link + one link per item ("7 § 1
+            // eller 2" — the paragraf-punkter fixture shape)
+            if (mark.get._2 == "§") {
+              tryItemList(markEnd) match {
+                case Some((ie, its)) if its.size == 1 =>
+                  out += Right(PLink(start, its.head._2, chapter, Some(id),
+                    None, item = Some(its.head._3)))
+                  return Some(Group(out.result(), 1, chapter, ie))
+                case Some((ie, its)) =>
+                  out += Right(PLink(start, markEnd, chapter, Some(id), None))
+                  var prev = markEnd
+                  its.foreach { case (f2, t2, v) =>
+                    out += Left((prev, f2))
+                    out += Right(PLink(f2, t2, chapter, Some(id), None,
+                      item = Some(v)))
+                    prev = t2
+                  }
+                  return Some(Group(out.result(), 1, chapter, ie))
+                case None => ()
+              }
+            }
             out += Right(PLink(start, markEnd, chapter, Some(id), None))
             return Some(Group(out.result(), 1, chapter, markEnd))
         }
@@ -314,7 +516,7 @@ object LawRef {
       at(Ws, cm.end) match {
         case Some(wm) =>
           trySectionGroup(wm.end, chapter, None) match {
-            case Some(g) if g.nSecIds == 1 =>
+            case Some(g) if g.pieces.size == 1 =>
               // merge chapter text into the (single) section's first link
               val pieces = g.pieces.zipWithIndex.map {
                 case (Right(pl), 0) => Right(pl.copy(from = pos))
@@ -342,7 +544,8 @@ object LawRef {
     private case class AnonTail(end: Int, law: String,
         strA: (Int, Int), idSpan: (Int, Int), strB: (Int, Int)) extends Tail
     /** "brottsbalken" / "elberedskapslagen (1997:288)" — merged links. */
-    private case class NamedTail(end: Int, law: Option[String]) extends Tail
+    private case class NamedTail(end: Int, law: Option[String],
+        nameFrom: Int) extends Tail
     /** "samma lag" — resolves to lastLaw. */
     private case class SameTail(end: Int, law: Option[String]) extends Tail
 
@@ -367,9 +570,12 @@ object LawRef {
             case Some(im) =>
               val law = im.group(1)
               learned(normalizeLawName(name)) = law
-              return Some(NamedTail(im.end, Some(law)))
+              if (noBase) baseLaw = Some(law)
+              return Some(NamedTail(im.end, Some(law), nm.start))
             case None =>
-              return Some(NamedTail(nm.end, resolveName(name)))
+              val r = resolveName(name)
+              if (noBase && r.isDefined) baseLaw = r
+              return Some(NamedTail(nm.end, r, nm.start))
           }
         case None => ()
       }
@@ -383,6 +589,7 @@ object LawRef {
             // str up to and incl. '('; id link; str from ')'
             val idFrom = s.indexOf(im.group(1), im.start)
             val idTo = idFrom + im.group(1).length
+            if (noBase) baseLaw = Some(im.group(1))
             return Some(AnonTail(im.end, im.group(1),
               (pos, idFrom), (idFrom, idTo), (idTo, im.end)))
           }
@@ -423,16 +630,70 @@ object LawRef {
           val law = im.group(1)
           learned(normalizeLawName(name)) = law
           currentLaw = Some(law)
+          if (noBase) baseLaw = Some(law)
           val uri = uriOf(Some(law)).get
           Some((im.end, Vector(Seg(s.substring(pos, im.end), Some(uri)))))
         case None =>
           resolveName(name) match {
             case Some(law) =>
               currentLaw = Some(law)
+              if (noBase) baseLaw = Some(law)
               val uri = uriOf(Some(law)).get
               Some((nm.end, Vector(Seg(s.substring(pos, nm.end), Some(uri)))))
             case None => None // unknown name: plain text
           }
+      }
+    }
+
+    /** PieceItemRef root ("tredje stycket 2" → #S3N2): a piece + item
+      * with no section, relative to the base law (lagrum.ebnf
+      * PieceItemRef). The item is REQUIRED — a bare "andra stycket" in
+      * running prose without a section anchor stays text. */
+    private def tryPieceRoot(pos: Int): Option[(Int, Vector[Seg])] = {
+      if (!wordBoundary(pos)) return None
+      val om = at(Ordinal, pos).getOrElse(return None)
+      val pw = at(PieceWord, om.end).getOrElse(return None)
+      val piece = Some(pieceMap(om.group(1)))
+      tryItemList(pw.end) match {
+        case Some((e, its)) =>
+          // first item merges into the piece link; the rest link alone
+          // ("tredje stycket 2, 3 eller 4" — the stycke-punkter shape)
+          val segs = Vector.newBuilder[Seg]
+          segs += Seg(s.substring(pos, its.head._2),
+            uriOf(None, piece = piece, item = Some(its.head._3)))
+          var prev = its.head._2
+          its.tail.foreach { case (f2, t2, v) =>
+            segs += Seg(s.substring(prev, f2))
+            segs += Seg(s.substring(f2, t2),
+              uriOf(None, piece = piece, item = Some(v)))
+            prev = t2
+          }
+          Some((e, segs.result()))
+        case None =>
+          // conj-separated items ("första stycket och 3" → S1, S1N3 —
+          // PieceAndItemRefs) or a bare piece ref ("första stycket" → S1)
+          val segs = Vector.newBuilder[Seg]
+          segs += Seg(s.substring(pos, pw.end), uriOf(None, piece = piece))
+          var p = pw.end
+          var go = true
+          while (go) {
+            val next = for {
+              sep <- at(CommaConjSep, p).orElse(at(ConjSep, p))
+              im <- at(ItemId, sep.end)
+              if at(NumIsSection, sep.end).isEmpty
+            } yield (sep, im)
+            next match {
+              case Some((sep, im)) =>
+                segs += Seg(s.substring(p, im.start))
+                segs += Seg(s.substring(im.start, im.end),
+                  uriOf(None, piece = piece, item = Some(
+                    (im.group(1) + Option(im.group(2)).getOrElse(""))
+                      .replaceAll("[\\s\\u00a0]+", ""))))
+                p = im.end
+              case None => go = false
+            }
+          }
+          Some((p, segs.result()))
       }
     }
 
@@ -443,6 +704,7 @@ object LawRef {
       if (s.charAt(pos) != '(') return None
       val m = at(SfsNr, pos).getOrElse(return None)
       val id = m.group(1)
+      if (noBase) baseLaw = Some(id)
       val idFrom = s.indexOf(id, pos)
       val idTo = idFrom + id.length
       val uri = uriOf(Some(id)).get
@@ -468,8 +730,10 @@ object LawRef {
           case Some(g) =>
             groups += g
             p = g.end
-            // group separator + another group?
-            val sep = at(CommaSep, p).orElse(at(ConjSep, p))
+            // group separator + another group? (", och " first — the
+            // Oxford-comma shape must be consumed whole)
+            val sep = at(CommaConjSep, p).orElse(at(CommaSep, p))
+              .orElse(at(ConjSep, p))
             sep match {
               case Some(sm) if tryGroup(sm.end).isDefined =>
                 gseps += ((sm.start, sm.end))
@@ -485,11 +749,26 @@ object LawRef {
       // a root with no section terminal must be a chapter ref to count
       if (nSecIds == 0 && !groups.exists(_.chapter.isDefined)) return None
 
+      // chapter state WITHIN one root (the reference's currentchapter:
+      // "6 kap. 4 §, 6 §, 10 § och 11 §" — later bare sections inherit
+      // the most recent chapter; cleared at root end like currentlaw)
+      var curChap: Option[String] = None
+      val groupsC = groups.toVector.map { g =>
+        if (g.chapter.isDefined) { curChap = g.chapter; g }
+        else if (curChap.isDefined)
+          g.copy(pieces = g.pieces.map {
+            case Right(pl) if pl.chapter.isEmpty =>
+              Right(pl.copy(chapter = curChap))
+            case other => other
+          })
+        else g
+      }
+
       val tail = tryLawTail(p)
       val law: Option[String] = tail match {
         case Some(AnonTail(_, l, _, _, _)) => currentLaw = Some(l); Some(l)
-        case Some(NamedTail(_, Some(l))) => currentLaw = Some(l); Some(l)
-        case Some(NamedTail(e, None)) =>
+        case Some(NamedTail(_, Some(l), _)) => currentLaw = Some(l); Some(l)
+        case Some(NamedTail(e, None, _)) =>
           // unknown named law: bail out, whole phrase stays text
           // (format_ExternalRefs, legalref.py:1030-1035)
           return Some((e, Vector(Seg(s.substring(pos, e)))))
@@ -507,20 +786,22 @@ object LawRef {
       }
       val anaphoric = tail.exists(_.isInstanceOf[SameTail])
       if (merged) {
-        val l0 = groups.head.pieces.collectFirst { case Right(pl) => pl }.get
-        val uri = uriOf(law, l0.chapter, l0.section, l0.piece, l0.item)
+        val l0 = groupsC.head.pieces.collectFirst { case Right(pl) => pl }.get
+        val uri = uriOf(law, l0.chapter, l0.section, l0.piece, l0.item,
+          sentence = l0.sentence, element = l0.element)
         return Some((end,
           Vector(Seg(s.substring(pos, end), uri, anaphoric))))
       }
 
       // piecewise rendering
       val segs = Vector.newBuilder[Seg]
-      groups.toVector.zipWithIndex.foreach { case (g, gi) =>
+      groupsC.zipWithIndex.foreach { case (g, gi) =>
         g.pieces.foreach {
           case Left((f, t)) => segs += Seg(s.substring(f, t))
           case Right(pl) =>
             segs += Seg(s.substring(pl.from, pl.to),
-              uriOf(law, pl.chapter, pl.section, pl.piece, pl.item),
+              uriOf(law, pl.chapter, pl.section, pl.piece, pl.item,
+                sentence = pl.sentence, element = pl.element),
               anaphoric)
         }
         if (gi < gseps.size)
@@ -531,10 +812,10 @@ object LawRef {
           segs += Seg(s.substring(sa, sb))
           segs += Seg(s.substring(ia, ib), uriOf(Some(l)))
           segs += Seg(s.substring(ba, bb))
-        case NamedTail(e, Some(l)) =>
-          // multi-ref + named law: the name links to the law itself
-          segs += Seg(s.substring(p, e).takeWhile(_.isWhitespace))
-          val nameFrom = p + s.substring(p, e).takeWhile(_.isWhitespace).length
+        case NamedTail(e, Some(l), nameFrom) =>
+          // multi-ref + named law: the text before the name (" i ") stays
+          // plain; the name (incl. its SFS number) links to the law
+          segs += Seg(s.substring(p, nameFrom))
           segs += Seg(s.substring(nameFrom, e), uriOf(Some(l)))
         case SameTail(e, _) =>
           segs += Seg(s.substring(p, e)) // plain (rare shape, no fixture)
@@ -544,7 +825,18 @@ object LawRef {
     }
 
     // ------------------------------------------------------------ parse
-    def parse(text: String): Vector[Seg] = {
+    /** Parse with an explicit base law for THIS call (the test driver's
+      * per-paragraph baseuri_attributes; None = NOBASE mode). */
+    def parse(text: String, base: Option[String]): Vector[Seg] = {
+      baseLaw = base
+      noBase = base.isEmpty
+      parseImpl(text)
+    }
+
+    def parse(text: String): Vector[Seg] =
+      parse(text, conf.baseLaw)
+
+    private def parseImpl(text: String): Vector[Seg] = {
       s = text
       val out = Vector.newBuilder[Seg]
       val plain = new StringBuilder
@@ -559,6 +851,7 @@ object LawRef {
           else if (c == '(') trySfsNrRoot(p)
           else if (Character.isLetter(c))
             tryChangeRef(p).orElse(tryNamedLawRoot(p))
+              .orElse(tryPieceRoot(p))
           else None
         hit match {
           case Some((np, segs)) =>

@@ -13,57 +13,33 @@ import graft.parse.LawRef
   * (/root/reference/lagen/nu/res/extra/sfs.ttl), the same source the
   * reference's test harness uses (legalref.py:258-266).
   *
-  * Coverage: the grammar subset LawRef implements — section/chapter/piece
-  * references, lists and ranges, anonymous/named/same-law tails (incl.
-  * the anaphoric "samma lag" back-reference), change refs, SFS numbers.
+  * Coverage: ALL 76 fixtures the reference's own suite runs green pass
+  * byte-identically (the 6 it marks expectedFailure are excluded, same
+  * as its own harness): section/chapter/piece/sentence/element/item
+  * references, lists, ranges, items with letters and punctuation,
+  * anonymous/named/compound/same-law tails (incl. the anaphoric
+  * "samma lag" back-reference), change refs, SFS numbers, NOBASE mode,
+  * RESET paragraphs, NBSP whitespace, archaic page-suffixed ids.
   */
 class LawRefGoldenSpec extends AnyFunSuite {
 
   private val fixtureDir = "/root/reference/test/files/legalref/SFS"
 
-  /** Supported fixture subset — 36 of the 82 SFS fixtures parse
-    * byte-identically (each asserted below). The remainder exercise
-    * out-of-scope productions: items/"punkten", "meningen" sentences,
-    * compound law names ("Radio- och TV-lagen"), NOBASE/BASE harness
-    * modes, and the abbreviation (KORTLAGRUM) grammar. */
-  private val supported = Seq(
-    "sfs-basic-gammal-lag.txt",
-    "sfs-basic-intervall.txt",
-    "sfs-basic-kapitel-paragraf-stycke.txt",
-    "sfs-basic-kapitel-paragraf.txt",
-    "sfs-basic-kapitel-paragrafer.txt",
-    "sfs-basic-kapitel.txt",
-    "sfs-basic-kungorelse.txt",
-    "sfs-basic-lag-kapitel-paragrafer-2.txt",
-    "sfs-basic-lagar.txt",
-    "sfs-basic-paragraf-stycke.txt",
-    "sfs-basic-paragraf.txt",
-    "sfs-basic-paragrafer.txt",
-    "sfs-basic-samma-lag.txt",   // the anaphoric back-reference case
-    "sfs-basic-separata-kapitel.txt",
-    "sfs-degenerate.txt",
-    "sfs-namngiven-grundlagar.txt",
-    "sfs-namngiven-referens-4.txt",
-    "sfs-namngiven-referens.txt", // dictionary-driven named laws
-    "sfs-namngiven-specifik.txt",
-    "sfs-regression-err1.txt",
-    "sfs-regression-err2.txt",
-    "sfs-regression-i18n.txt",
-    "sfs-regression-med-och-utan-kapitel.txt",
-    "sfs-regression-obestamd-form.txt",
-    "sfs-regression-whitespace-2.txt",
-    "sfs-samma-forordning.txt",
-    "sfs-tricky-1982-713-5.txt",
-    "sfs-tricky-andringsnotering.txt",
-    "sfs-tricky-gammal-lag.txt",
-    "sfs-tricky-i18n.txt",
-    "sfs-tricky-lag.txt",
-    "sfs-tricky-paragrafer-bokstaver.txt",
-    "sfs-tricky-paragrafer-med-enstaka-paragraftecken.txt",
-    "sfs-tricky-radbryning-i-hanvisning.txt",
-    "sfs-tricky-sammalag.txt",
-    "tricky-strange-chars.txt",
-  )
+  /** The 6 fixtures the REFERENCE ITSELF marks expectedFailure
+    * (integrationLegalRef.py:139-146 brokentests) — excluded exactly as
+    * its own suite excludes them. Every other SFS fixture is asserted
+    * byte-identical below: 76/76. */
+  private val referenceBroken = Set(
+    "sfs-tricky-bokstavslista.txt",
+    "sfs-tricky-eller.txt",
+    "sfs-tricky-eller-paragrafer-stycke.txt",
+    "sfs-tricky-overgangsbestammelse.txt",
+    "sfs-tricky-uppdelat-lagnamn.txt",
+    "sfs-tricky-vvfs.txt")
+
+  private val supported: Seq[String] =
+    new java.io.File(fixtureDir).listFiles().map(_.getName)
+      .filter(_.endsWith(".txt")).filterNot(referenceBroken).sorted.toSeq
 
   /** rdfs:label lines of sfs.ttl → normalized name → SFS id. */
   private lazy val namedLaws: Map[String, String] = {
@@ -89,7 +65,8 @@ class LawRefGoldenSpec extends AnyFunSuite {
           s"""  <Link uri="${xmlEscape(u)}">${xmlEscape(seg.text)}</Link>"""
       }
     }.mkString("\n")
-    s"<list>\n$body\n</list>"
+    if (segs.isEmpty) "<str />" // the reference serializes an empty parse so
+    else s"<list>\n$body\n</list>"
   }
 
   private def readFixture(name: String): (Seq[String], String) = {
@@ -108,7 +85,11 @@ class LawRefGoldenSpec extends AnyFunSuite {
     test(s"golden: $name") {
       val (paras, want) = readFixture(name)
       val parser = new LawRef.Parser(LawRef.Conf(namedLaws = namedLaws))
-      val got = paras.map(p => serialize(parser.parse(p))).mkString("\n---\n")
+      val got = paras.map { p =>
+        if (p.startsWith("RESET:")) parser.resetLearned()
+        val base = if (p.startsWith("NOBASE:")) None else Some("9999:999")
+        serialize(parser.parse(p, base))
+      }.mkString("\n---\n")
       assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
     }
   }
