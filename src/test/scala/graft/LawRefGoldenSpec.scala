@@ -149,6 +149,89 @@ class LawRefGoldenSpec extends AnyFunSuite {
     }
   }
 
+  // FORARBETEN: the Regpubl fixture dir (preparatory-works grammar —
+  // LegalRef(FORARBETEN)). 9 of 10 asserted; regpubl-avsnittref.txt
+  // needs the BASE: harness mode (document-context attributes incl.
+  // kommittensbetankande), which is out of scope.
+  Seq("badprop.txt", "ds.txt", "oldprop.txt", "prop-a-prop.txt",
+      "prop-and-sou.txt", "prop-multiple-pages.txt", "regpubl-basic.txt",
+      "regpubl-celex.txt", "regpubl-sidnr.txt").foreach { name =>
+    test(s"golden (FORARBETEN): $name") {
+      val dir = "/root/reference/test/files/legalref/Regpubl"
+      val raw = {
+        val src = scala.io.Source.fromFile(s"$dir/$name", "windows-1252")
+        try src.mkString finally src.close()
+      }
+      val parts = raw.split("\r?\n\r?\n", 2)
+      val want = parts(1).replace("\r\n", "\n").trim
+      val paras = parts(0).replace("\r\n", "\n").split("\n---\n").toSeq
+      val parser = new graft.parse.ForarbRef.Parser()
+      val got = paras.map(x => serialize(parser.parse(x))).mkString("\n---\n")
+      assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
+    }
+  }
+
+  // RATTSFALL: the DV fixture dir (court-report grammar —
+  // LegalRef(RATTSFALL)); all 7 fixtures asserted.
+  Seq("dv-ad-basic.txt", "dv-hd-basic.txt", "dv-hd-not.txt",
+      "dv-hovr-basic.txt", "dv-other-not.txt", "dv-regr-basic.txt",
+      "dv-tricky-misc.txt").foreach { name =>
+    test(s"golden (RATTSFALL): $name") {
+      val dir = "/root/reference/test/files/legalref/DV"
+      val raw = {
+        val src = scala.io.Source.fromFile(s"$dir/$name", "windows-1252")
+        try src.mkString finally src.close()
+      }
+      val parts = raw.split("\r?\n\r?\n", 2)
+      val want = parts(1).replace("\r\n", "\n").trim
+      val paras = parts(0).replace("\r\n", "\n").split("\n---\n").toSeq
+      val parser = new graft.parse.RattsfallRef.Parser()
+      val got = paras.map(x => serialize(parser.parse(x))).mkString("\n---\n")
+      assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
+    }
+  }
+
+  // EULAGSTIFTNING: the EGLag fixture dir (EU directive/regulation
+  // grammar — LegalRef(EULAGSTIFTNING)); all 7 fixtures asserted.
+  Seq("eglag-basic-artikel-direktiv-titel.txt",
+      "eglag-basic-artikel-direktiv.txt", "eglag-basic-direktiv.txt",
+      "eglag-basic-forordning.txt", "eglag-gdpr.txt",
+      "eglag-ofullstandig.txt", "tricky-misc.txt").foreach { name =>
+    test(s"golden (EULAGSTIFTNING): $name") {
+      val dir = "/root/reference/test/files/legalref/EGLag"
+      val raw = {
+        val src = scala.io.Source.fromFile(s"$dir/$name", "windows-1252")
+        try src.mkString finally src.close()
+      }
+      val parts = raw.split("\r?\n\r?\n", 2)
+      val want = parts(1).replace("\r\n", "\n").trim
+      val paras = parts(0).replace("\r\n", "\n").split("\n---\n").toSeq
+      val parser = new graft.parse.EuActRef.Parser()
+      val got = paras.map(x => serialize(parser.parse(x))).mkString("\n---\n")
+      assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
+    }
+  }
+
+  // MYNDIGHETSBESLUT: the Avg fixture dir (agency-decision grammar —
+  // LegalRef(MYNDIGHETSBESLUT)); all 8 fixtures asserted.
+  Seq("arn-basic.txt", "arn-multiple.txt", "jk-basic.txt",
+      "jk-multiple.txt", "jo-basic.txt", "jo-multiple-pageref.txt",
+      "jo-multiple.txt", "jo-trailing-comma.txt").foreach { name =>
+    test(s"golden (MYNDIGHETSBESLUT): $name") {
+      val dir = "/root/reference/test/files/legalref/Avg"
+      val raw = {
+        val src = scala.io.Source.fromFile(s"$dir/$name", "windows-1252")
+        try src.mkString finally src.close()
+      }
+      val parts = raw.split("\r?\n\r?\n", 2)
+      val want = parts(1).replace("\r\n", "\n").trim
+      val paras = parts(0).replace("\r\n", "\n").split("\n---\n").toSeq
+      val parser = new graft.parse.AvgRef.Parser()
+      val got = paras.map(x => serialize(parser.parse(x))).mkString("\n---\n")
+      assert(got == want, s"\n--- got ---\n$got\n--- want ---\n$want")
+    }
+  }
+
   test("abbreviation conflicts resolve longest-first (MBL beats MB)") {
     assert(abbrevs.contains("MBL") && abbrevs.contains("MB"))
     val parser = new LawRef.Parser(LawRef.Conf(abbrevs = abbrevs))
