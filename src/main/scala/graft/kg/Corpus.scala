@@ -682,6 +682,30 @@ object Corpus {
       ref(s"$uri#L${sfsIdOf(j4)}")
     }
 
+    // preparatory-works citation (the FORARBETEN family): prop with a
+    // page reference, or an SOU report
+    if (r.nextBool(0.6)) {
+      val py = 1990 + r.nextInt(30)
+      val pn = 1 + r.nextInt(200)
+      val rm2 = f"${(py + 1) % 100}%02d"
+      if (r.nextBool(0.5)) {
+        val page = 10 + r.nextInt(300)
+        b.append(s"Förarbetena finns i prop. $py/$rm2:$pn s. $page.\n\n")
+        ref(s"${EntityDict.base}/prop/$py/$rm2:$pn#sid$page")
+      } else {
+        b.append(s"Frågan utreddes i SOU $py:$pn.\n\n")
+        ref(s"${EntityDict.base}/sou/$py:$pn")
+      }
+    }
+
+    // court-report citation (the RATTSFALL family)
+    if (r.nextBool(0.5)) {
+      val cy = 1985 + r.nextInt(35)
+      val cn = 1 + r.nextInt(150)
+      b.append(s"Jfr NJA $cy s. $cn om ${r.pick(svWords)}.\n\n")
+      ref(s"${EntityDict.base}/dom/nja/${cy}s$cn")
+    }
+
     val commit = f"l${(seed ^ i) & 0xffffffffL}%08x"
     GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
   }

@@ -47,6 +47,12 @@ object LawDoc {
     val conf = LawRef.Conf(base = base, baseLaw = Some(ownId),
       namedLaws = dict)
     val segs = LawRef.parse(body, conf)
+    // the other citation families over the same body (preparatory works,
+    // court reports): independent grammars, independent mention streams —
+    // the reference runs LegalRef with multiple modes the same way
+    val uriBase = s"${EntityDict.base}/"
+    val forarbSegs = new ForarbRef.Parser(ForarbRef.Conf(uriBase)).parse(body)
+    val domSegs = new RattsfallRef.Parser(RattsfallRef.Conf(uriBase)).parse(body)
 
     val triples = Vector.newBuilder[Triple]
     triples += Triple.lit(uri, Vocab.PROV + "wasGeneratedBy",
@@ -57,15 +63,19 @@ object LawDoc {
     triples += Triple.lit(uri, Vocab.dcterms("identifier"), ownId, graph)
 
     val mentions = Vector.newBuilder[Mention]
-    var off = 0
-    segs.foreach { seg =>
-      seg.uri.foreach { target =>
-        mentions += Mention(docId, src.repo, src.lang,
-          if (seg.anaphoric) "LawRefSame" else "LawRef",
-          seg.text, off, off + seg.text.length, target, uri)
+    def collect(out: Vector[LawRef.Seg], grammar: LawRef.Seg => String): Unit = {
+      var off = 0
+      out.foreach { seg =>
+        seg.uri.foreach { target =>
+          mentions += Mention(docId, src.repo, src.lang, grammar(seg),
+            seg.text, off, off + seg.text.length, target, uri)
+        }
+        off += seg.text.length
       }
-      off += seg.text.length
     }
+    collect(segs, seg => if (seg.anaphoric) "LawRefSame" else "LawRef")
+    collect(forarbSegs, _ => "ForarbRef")
+    collect(domSegs, _ => "RattsfallRef")
 
     val tree = TreeNode("Law",
       children = body.split("\n\n+").toVector.filter(_.nonEmpty)

@@ -54,6 +54,18 @@ class LawDocSpec extends AnyFunSuite {
     }
   }
 
+  test("all four citation families produce mentions over the law corpus") {
+    val grammars = docs.flatMap(d => LawDoc.parse(d.src).mentions)
+      .groupBy(_.grammar).view.mapValues(_.size).toMap
+    assert(grammars.keySet == Set("LawRef", "LawRefSame", "ForarbRef",
+      "RattsfallRef"), grammars.toString)
+    // forarbete/court targets live in their own URI spaces
+    val m = docs.flatMap(d => LawDoc.parse(d.src).mentions)
+    assert(m.exists(_.candidateKey.contains("/prop/")))
+    assert(m.exists(_.candidateKey.contains("/sou/")))
+    assert(m.exists(_.candidateKey.contains("/dom/nja/")))
+  }
+
   test("doc triples carry type/title/identifier in the sv-law shape") {
     val p = LawDoc.parse(docs.head.src)
     assert(p.triples.exists(t =>
