@@ -162,8 +162,11 @@ object Bench {
     }.toMap
     timedPass() // warm (discarded)
     val (p1, p2) = (timedPass(), timedPass())
+    // a query that failed in ANY pass reports ONLY as an error — a
+    // single surviving sample must not masquerade as a min-of-2 timing
     val results = qnames.collect {
-      case (name, _) if p1.contains(name) || p2.contains(name) =>
+      case (name, _) if !errors.contains(name) &&
+          (p1.contains(name) || p2.contains(name)) =>
         name -> math.min(p1.getOrElse(name, Double.MaxValue),
           p2.getOrElse(name, Double.MaxValue))
     }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * Correctness: every query here is driver-verified against a DuckDB
   * oracle — graft.Verify dumps the pipeline's stage tables as parquet
-  * under `outDir/_base/` (kg_triples, kg_docs, kg_linked, kg_sameas,
-  * kg_versions) and the oracle SQL re-derives each query's relational
+  * under the sibling dir `<outDir>.base/` (kg_triples, kg_docs,
+  * kg_linked, kg_sameas, kg_versions, pre-canon stage tables, law
+  * mentions) and the oracle SQL re-derives each query's relational
   * logic independently over those dumps (recursive CTEs replay the
   * fixpoint closures; window SQL replays the rankings). The parse stage
   * itself is covered by the ScalaTest P/R oracle (ground truth generated
@@ -498,8 +499,8 @@ object KgQueries {
     "kg_law_refs" -> lawRefs,
   )
 
-  /** Stage tables dumped by graft.Verify under outDir/_base — the oracle's
-    * input. kg_docs carries sha60 (leading 60 bits of the content sha256 as
+  /** Stage tables dumped by graft.Verify under the sibling `<outDir>.base`
+    * dir — the oracle's input. kg_docs carries sha60 (leading 60 bits of the content sha256 as
     * a bigint) so the lineage oracle can replay the xor fold in SQL. */
   val baseTables: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_triples" -> ((s, _) => t(ctx(s))),

@@ -28,8 +28,7 @@ object AvgRef {
 
   final case class Conf(base: String = "https://lagen.nu/")
 
-  private def re(p: String): Pattern =
-    Pattern.compile(p.replace("\\s", "[\\s\\u00a0]"))
+  private def re(p: String): Pattern = CitationScanner.re(p)
 
   private val IsoDate = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
   private val Datum = "[0-9]{1,2}\\s+[\\p{L}]+\\s+[0-9]{4}"
@@ -57,18 +56,9 @@ object AvgRef {
   private def jkLooksLikeDate(ord: Int, month: Int, day: Int): Boolean =
     ord >= 1980 && ord <= 2099 && month >= 1 && month <= 12 && day <= 31
 
-  final class Parser(conf: Conf = Conf()) {
-    private var s: String = ""
+  final class Parser(conf: Conf = Conf()) extends CitationScanner {
 
-    private def at(p: Pattern, pos: Int): Option[Matcher] = {
-      val m = p.matcher(s)
-      m.region(pos, s.length)
-      m.useTransparentBounds(true)
-      if (m.lookingAt()) Some(m) else None
-    }
 
-    private def boundary(pos: Int): Boolean =
-      pos == 0 || !Character.isLetterOrDigit(s.charAt(pos - 1))
 
     def parse(text: String): Vector[LawRef.Seg] = {
       s = text
@@ -152,13 +142,7 @@ object AvgRef {
         else { plain.append(c); p += 1 }
       }
       flush()
-      out.result().foldLeft(Vector.empty[LawRef.Seg]) { (acc, seg) =>
-        acc.lastOption match {
-          case Some(lastSeg) if lastSeg.uri.isEmpty && seg.uri.isEmpty =>
-            acc.init :+ LawRef.Seg(lastSeg.text + seg.text)
-          case _ => acc :+ seg
-        }
-      }
+      mergePlain(out.result())
     }
   }
 }

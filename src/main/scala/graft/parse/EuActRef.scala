@@ -25,8 +25,7 @@ object EuActRef {
 
   final case class Conf(base: String = "https://lagen.nu/")
 
-  private def re(p: String): Pattern =
-    Pattern.compile(p.replace("\\s", "[\\s\\u00a0]"))
+  private def re(p: String): Pattern = CitationScanner.re(p)
 
   private val Inst =
     "(?:Europaparlamentets\\s+och\\s+rådets|rådets|kommissionens)"
@@ -57,18 +56,9 @@ object EuActRef {
     f"3$ar$form${lop.toInt}%04d"
   }
 
-  final class Parser(conf: Conf = Conf()) {
-    private var s: String = ""
+  final class Parser(conf: Conf = Conf()) extends CitationScanner {
 
-    private def at(p: Pattern, pos: Int): Option[Matcher] = {
-      val m = p.matcher(s)
-      m.region(pos, s.length)
-      m.useTransparentBounds(true)
-      if (m.lookingAt()) Some(m) else None
-    }
 
-    private def boundary(pos: Int): Boolean =
-      pos == 0 || !Character.isLetterOrDigit(s.charAt(pos - 1))
 
     /** Act starting at pos → (end, celex). */
     private def tryAct(pos: Int): Option[(Int, String)] =
@@ -119,13 +109,7 @@ object EuActRef {
         else { plain.append(c); p += 1 }
       }
       flush()
-      out.result().foldLeft(Vector.empty[LawRef.Seg]) { (acc, seg) =>
-        acc.lastOption match {
-          case Some(lastSeg) if lastSeg.uri.isEmpty && seg.uri.isEmpty =>
-            acc.init :+ LawRef.Seg(lastSeg.text + seg.text)
-          case _ => acc :+ seg
-        }
-      }
+      mergePlain(out.result())
     }
   }
 }

@@ -28,8 +28,7 @@ object ForarbRef {
 
   final case class Conf(base: String = "https://lagen.nu/")
 
-  private def re(p: String): Pattern =
-    Pattern.compile(p.replace("\\s", "[\\s\\u00a0]"))
+  private def re(p: String): Pattern = CitationScanner.re(p)
 
   private val Rm = "[0-9]{4}(?:/[0-9]{2,4})?"
   private val PropStd = re(
@@ -50,21 +49,11 @@ object ForarbRef {
   private val PageSep = re("(\\s*--?\\s*|,\\s+|\\s+(?:och|eller|samt)\\s+)")
   private val PageNum = re("([0-9]+)(?![\\p{L}0-9:])")
 
-  final class Parser(conf: Conf = Conf()) {
+  final class Parser(conf: Conf = Conf()) extends CitationScanner {
     /** last forarbete path ("prop/2002/03:12") — the "a. prop." target. */
     private var last: Option[String] = None
 
-    private var s: String = ""
 
-    private def at(p: Pattern, pos: Int): Option[Matcher] = {
-      val m = p.matcher(s)
-      m.region(pos, s.length)
-      m.useTransparentBounds(true)
-      if (m.lookingAt()) Some(m) else None
-    }
-
-    private def boundary(pos: Int): Boolean =
-      pos == 0 || !Character.isLetterOrDigit(s.charAt(pos - 1))
 
     /** (endPos, docPath) for the citation starting at pos, or None. */
     private def tryRef(pos: Int): Option[(Int, String)] = {
@@ -167,13 +156,7 @@ object ForarbRef {
         }
       }
       flush()
-      out.result().foldLeft(Vector.empty[LawRef.Seg]) { (acc, seg) =>
-        acc.lastOption match {
-          case Some(lastSeg) if lastSeg.uri.isEmpty && seg.uri.isEmpty =>
-            acc.init :+ LawRef.Seg(lastSeg.text + seg.text)
-          case _ => acc :+ seg
-        }
-      }
+      mergePlain(out.result())
     }
   }
 }

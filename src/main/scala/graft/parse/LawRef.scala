@@ -83,10 +83,7 @@ object LawRef {
     "nionde" -> "9")
 
   // ------------------------------------------------------------ patterns
-  /** NBSP (0xA0) counts as whitespace — the reference's base.ebnf
-    * Whitespace class contains a literal A0 byte (the nbsp fixture). */
-  private def re(p: String): Pattern =
-    Pattern.compile(p.replace("\\s", "[\\s\\u00a0]"))
+  private def re(p: String): Pattern = CitationScanner.re(p)
 
   private val Ws = re("\\s+")
   /** SectionRefID: number + optional single a-n letter not followed by a
@@ -156,7 +153,7 @@ object LawRef {
   /** One instance per DOCUMENT — `lastLaw` and the learned name→id map
     * deliberately survive across parse() calls (paragraphs), exactly as
     * the reference keeps parser state across basefile paragraphs. */
-  final class Parser(conf: Conf) {
+  final class Parser(conf: Conf) extends CitationScanner {
     private var lastLaw: Option[String] = None
     private val learned = mutable.HashMap.empty[String, String]
     /** Per-parse base law. In NOBASE mode (base None) every law mention
@@ -177,17 +174,7 @@ object LawRef {
           .map(Pattern.quote).mkString("|") + ")(?![\\p{L}0-9])"))
 
     // --------------------------------------------------------- helpers
-    private var s: String = ""
-
-    private def at(p: Pattern, pos: Int): Option[Matcher] = {
-      val m = p.matcher(s)
-      m.region(pos, s.length)
-      m.useTransparentBounds(true)
-      if (m.lookingAt()) Some(m) else None
-    }
-
-    private def wordBoundary(pos: Int): Boolean =
-      pos == 0 || !Character.isLetterOrDigit(s.charAt(pos - 1))
+    private def wordBoundary(pos: Int): Boolean = boundary(pos)
 
     /** "1736:0123 s. 2" → "1736:0123_s._2" (URI form, cf. the reference's
       * space-to-underscore minting in the gammal-lag fixture). */
@@ -886,14 +873,7 @@ object LawRef {
         }
       }
       flushPlain()
-      // concatenate adjacent plain segments (the reference's normres pass)
-      out.result().foldLeft(Vector.empty[Seg]) { (acc, seg) =>
-        acc.lastOption match {
-          case Some(last) if last.uri.isEmpty && seg.uri.isEmpty =>
-            acc.init :+ Seg(last.text + seg.text)
-          case _ => acc :+ seg
-        }
-      }
+      mergePlain(out.result())
     }
   }
 }

@@ -41,6 +41,7 @@ object Patch {
     var body = Vector.newBuilder[String]
     var srcLeft = 0
     var dstLeft = 0
+    var seenHunk = false
     def flush(): Unit = {
       current.foreach { case (a, b, c, d, cm) =>
         out += Hunk(a, b, c, d, cm, body.result())
@@ -69,7 +70,19 @@ object Patch {
           srcLeft = sl
           dstLeft = dl
           body = Vector.newBuilder[String]
-        case _ => () // file headers / diff noise between hunks
+          seenHunk = true
+        case l if !seenHunk =>
+          () // arbitrary preamble before the first hunk (git headers etc.)
+        case l if l.startsWith("--- ") || l.startsWith("+++ ") ||
+                  l.startsWith("diff ") || l.startsWith("index ") ||
+                  l.startsWith("\\") || l.isEmpty =>
+          () // file headers / diff noise between hunks
+        case l if l.startsWith("+") || l.startsWith("-") =>
+          // a hunk declared fewer lines than its body carries — the
+          // silent-drop twin of the misclassification bug: conflict loudly
+          throw PatchConflict(
+            s"hunk body line beyond the declared counts: $l")
+        case _ => ()
       }
     }
     flush()

@@ -20,8 +20,7 @@ object RattsfallRef {
 
   final case class Conf(base: String = "https://lagen.nu/")
 
-  private def re(p: String): Pattern =
-    Pattern.compile(p.replace("\\s", "[\\s\\u00a0]"))
+  private def re(p: String): Pattern = CitationScanner.re(p)
 
   private val Courts = "RÅ|AD|RH|RK|MÖD|MMD|MIG|MD|HFD|PMÖD"
   private val Sep =
@@ -36,18 +35,9 @@ object RattsfallRef {
   private def slug(court: String): String =
     court.toLowerCase.replace("å", "a").replace("ä", "a").replace("ö", "o")
 
-  final class Parser(conf: Conf = Conf()) {
-    private var s: String = ""
+  final class Parser(conf: Conf = Conf()) extends CitationScanner {
 
-    private def at(p: Pattern, pos: Int): Option[Matcher] = {
-      val m = p.matcher(s)
-      m.region(pos, s.length)
-      m.useTransparentBounds(true)
-      if (m.lookingAt()) Some(m) else None
-    }
 
-    private def boundary(pos: Int): Boolean =
-      pos == 0 || !Character.isLetterOrDigit(s.charAt(pos - 1))
 
     def parse(text: String): Vector[LawRef.Seg] = {
       s = text
@@ -76,13 +66,7 @@ object RattsfallRef {
         }
       }
       flush()
-      out.result().foldLeft(Vector.empty[LawRef.Seg]) { (acc, seg) =>
-        acc.lastOption match {
-          case Some(lastSeg) if lastSeg.uri.isEmpty && seg.uri.isEmpty =>
-            acc.init :+ LawRef.Seg(lastSeg.text + seg.text)
-          case _ => acc :+ seg
-        }
-      }
+      mergePlain(out.result())
     }
   }
 }

@@ -149,8 +149,10 @@ object StreamOps {
         .withColumn("event_type", lit(FlushSentinel))
       val tmp = Files.createTempDirectory("graft-sentinel")
       one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       Files.move(part, streamDir.resolve(f"0$idx-flush.parquet"))
     }
     stageSentinel(1, 2)

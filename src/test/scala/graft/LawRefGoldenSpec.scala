@@ -245,6 +245,16 @@ class LawRefGoldenSpec extends AnyFunSuite {
     assert(namedLaws(LawRef.normalizeLawName("Äktenskapsbalkens")) == "1987:230")
   }
 
+  test("anvisningarna-punkt at end of sentence parses without crashing") {
+    // regression: the piece lookahead after 'punkt N' fed -1 into the
+    // matcher when no whitespace followed (review finding)
+    val parser = new LawRef.Parser(LawRef.Conf())
+    val segs = parser.parse("Se 41 § anvisningarna punkt 2.")
+    assert(segs.exists(_.uri.contains("https://lagen.nu/9999:999#P41S1N2")))
+    val atEof = parser.parse("Se 41 § anvisningarna punkt 2")
+    assert(atEof.exists(_.uri.isDefined))
+  }
+
   test("state: learned names and lastLaw persist across paragraphs") {
     val parser = new LawRef.Parser(LawRef.Conf(namedLaws = Map.empty))
     // paragraph 1 teaches the name and sets lastLaw

@@ -104,4 +104,14 @@ class PatchSpec extends AnyFunSuite {
     val bad = "@@ -1,3 +1,3 @@\n a\n@@ -5,1 +5,1 @@\n-q\n+r\n"
     intercept[Patch.PatchConflict](Patch.apply("a\nb\nc\nd\nq", bad))
   }
+
+  test("excess body lines beyond the declared counts conflict loudly") {
+    // the hunk declares 1+1 lines but carries an extra '+' — the silent
+    // drop would apply 'successfully' missing a line
+    val bad = "@@ -1,1 +1,1 @@\n-old\n+new\n+new2\n"
+    intercept[Patch.PatchConflict](Patch.apply("old\nrest", bad))
+    // preamble before the first hunk stays permissive (git mail headers)
+    val ok = "From: someone\nSubject: fix\n\n@@ -1,1 +1,1 @@\n-old\n+new\n"
+    assert(Patch.apply("old\nrest", ok)._1 == "new\nrest")
+  }
 }
