@@ -35,11 +35,17 @@ object Verify {
     // outputs, and a `_base` entry shows up as a spurious no_oracle row
     // (ADVICE r2). Oracle SQL reaches them via the __BASE__ template.
     val baseDir = new java.io.File(outDir).getAbsolutePath + ".base"
+    // a failed base dump must fail LOUDLY (VERDICT r3 hygiene): every
+    // oracle reading __BASE__/<name> would otherwise compare against
+    // stale parquet from a previous run and report a silent mismatch (or
+    // worse, a silent match). Dump everything, then exit non-zero.
+    val baseFailures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.baseTables.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$baseDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] base $name failed: ${e.getMessage}")
+        baseFailures += name
+        System.err.println(s"[verify] base $name FAILED: ${e.getMessage}")
       }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -71,5 +77,11 @@ object Verify {
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (baseFailures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${baseFailures.size} base dump(s) failed: " +
+        baseFailures.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

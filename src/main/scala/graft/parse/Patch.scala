@@ -52,10 +52,18 @@ object Patch {
       val hunkOpen = current.isDefined && (srcLeft > 0 || dstLeft > 0)
       if (hunkOpen) {
         val l = if (line.isEmpty) " " else line // blank context line
+        // each arm checks ITS counter before decrementing: while the hunk
+        // is open on one side, a body line overdrawing the other side must
+        // conflict, not push the counter negative (ADVICE r3 — the
+        // outer-loop excess check only fires once BOTH counters are spent)
         l.charAt(0) match {
-          case ' ' => body += l; srcLeft -= 1; dstLeft -= 1
-          case '-' => body += l; srcLeft -= 1
-          case '+' => body += l; dstLeft -= 1
+          case ' ' if srcLeft > 0 && dstLeft > 0 =>
+            body += l; srcLeft -= 1; dstLeft -= 1
+          case '-' if srcLeft > 0 => body += l; srcLeft -= 1
+          case '+' if dstLeft > 0 => body += l; dstLeft -= 1
+          case ' ' | '-' | '+' =>
+            throw PatchConflict(
+              s"hunk body line beyond the declared counts: $line")
           case '\\' => () // "\ No newline at end of file"
           case _ =>
             throw PatchConflict(s"malformed hunk body line: $line")

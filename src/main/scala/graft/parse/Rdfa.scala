@@ -116,8 +116,20 @@ object Rdfa {
   def distill(xhtml: String, graph: String = ""): Vector[Triple] = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false)
+    // XXE hardening: the input can be untrusted (fixture artifacts are
+    // explicitly untrusted content), and the ferenda-emitted subset never
+    // carries a DOCTYPE — reject doctypes outright so an inline
+    // <!ENTITY x SYSTEM "file:..."> can't exfiltrate local files into
+    // literal triples, and belt-and-braces the external-entity switches.
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature(
+      "http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature(
+      "http://xml.org/sax/features/external-parameter-entities", false)
     f.setFeature(
       "http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     val doc = f.newDocumentBuilder().parse(
       new java.io.ByteArrayInputStream(xhtml.getBytes("UTF-8")))
     val root = doc.getDocumentElement

@@ -199,7 +199,11 @@ object SimOps {
     if (pairsCache.containsKey((spark, dir, threshold)))
       return cosinePairs(spark, dir, threshold)
     val n = gateCountCache.computeIfAbsent((spark, dir, maxExactRows), { _ =>
-      withNorm(emb(spark, dir)).limit((maxExactRows + 1).toInt).count()
+      // limit() takes an Int: clamp so a gate configured above ~2.1B rows
+      // doesn't overflow to a negative limit (ADVICE r3); past Int.MaxValue
+      // the probe can't distinguish anyway and the count saturates there
+      val probe = math.min(maxExactRows + 1, Int.MaxValue.toLong).toInt
+      withNorm(emb(spark, dir)).limit(probe).count()
     })
     if (n <= maxExactRows) cosinePairs(spark, dir, threshold)
     else cosinePairsLsh(withNorm(emb(spark, dir)), threshold)

@@ -154,10 +154,23 @@ object StreamOps {
         try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
         finally listing.close()
       Files.move(part, streamDir.resolve(f"0$idx-flush.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
     stageSentinel(1, 2)
     stageSentinel(2, 4)
     stageSentinel(3, 6)
+    // FileStreamSource orders the backlog by MODIFICATION time, and on
+    // coarse-granularity (1s) filesystems the four files can tie — a
+    // far-future sentinel batch running first would put the real events
+    // below the watermark and silently drop them (ADVICE r3). Pin strictly
+    // increasing mtimes so processing order is deterministic.
+    val mtime0 = Files
+      .getLastModifiedTime(streamDir.resolve("00-events.parquet")).toMillis
+    Seq("00-events.parquet", "01-flush.parquet", "02-flush.parquet",
+        "03-flush.parquet").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(streamDir.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 2000L))
+    }
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
@@ -171,10 +184,21 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    val readBack = spark.read.parquet(outDir)
       .filter(col("event_type") =!= FlushSentinel)
       .select("window_start", "event_type", "n")
       .orderBy("window_start", "event_type")
+    // finalized windows are tiny (one row per hour × event_type) —
+    // materialize them driver-side so the staging/checkpoint/sink temp
+    // trees can be deleted NOW instead of accumulating across bench
+    // passes (VERDICT r3 hygiene)
+    val rows = readBack.collect().toSeq
+    val outSchema = readBack.schema
+    Seq(streamDir.toString, ckpt, outDir).foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -101,7 +101,7 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("subj").as("child"), col("obj").as("parent"))
     val local = KgQueries.partClosure(part).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    val dist = KgQueries.partClosure(part, localThreshold = 0).collect()
+    val dist = KgQueries.partClosure(part, localByteBudget = 0).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(local == dist)
     assert(local.nonEmpty)
@@ -114,7 +114,7 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val depth = 100
     val part = (0 until depth)
       .map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
-    val got = KgQueries.partClosure(part, localThreshold = 0).collect()
+    val got = KgQueries.partClosure(part, localByteBudget = 0).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     val want = (for { i <- 0 until depth; j <- (i + 1) to depth }
       yield (s"n$i", s"n$j")).toSet

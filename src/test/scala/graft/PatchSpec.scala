@@ -114,4 +114,17 @@ class PatchSpec extends AnyFunSuite {
     val ok = "From: someone\nSubject: fix\n\n@@ -1,1 +1,1 @@\n-old\n+new\n"
     assert(Patch.apply("old\nrest", ok)._1 == "new\nrest")
   }
+
+  test("one-sided overdraw while the hunk is still open conflicts (ADVICE r3)") {
+    // declares 1 source line but carries two '-' while '+' side keeps the
+    // hunk open — the old check only fired after BOTH counters were spent,
+    // so srcLeft went negative and the overdraw applied silently
+    val badMinus = "@@ -1,1 +1,2 @@\n-a\n-b\n+x\n+y\n"
+    intercept[Patch.PatchConflict](Patch.apply("a\nb\nc", badMinus))
+    val badPlus = "@@ -1,2 +1,1 @@\n-a\n+x\n+y\n-b\n"
+    intercept[Patch.PatchConflict](Patch.apply("a\nb\nc", badPlus))
+    // a context line with one counter at 0 is an overdraw too
+    val badCtx = "@@ -1,1 +1,2 @@\n-a\n+x\n y\n+z\n"
+    intercept[Patch.PatchConflict](Patch.apply("a\ny\nc", badCtx))
+  }
 }
