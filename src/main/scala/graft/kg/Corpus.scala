@@ -625,28 +625,32 @@ object Corpus {
     truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
       lang = Some("sv"))
     truth += Triple.lit(uri, Vocab.dcterms("identifier"), ownId, graph)
-    def ref(target: String): Unit =
-      truth += Triple.uri(uri, Vocab.dcterms("references"), target, graph)
 
-    val b = new StringBuilder
-    b.append(title).append("\n\n") // title line is NOT scanned (LawDoc)
+    // Content blocks: (section text, citation targets). Each block becomes
+    // ONE numbered section of the assembled statute below, so the ground
+    // truth anchors every reference at its #K..P.. section subject — the
+    // same sub-resource anchoring as rfc #S fragments (the structure truth
+    // the SfsParser slice must reproduce).
+    val blocks = Vector.newBuilder[(String, Vector[String])]
+    def block(text: String, targets: String*): Unit =
+      blocks += ((text, targets.toVector))
 
     // relative section reference → own law
     val k1 = 1 + r.nextInt(30)
-    b.append(s"${svSentence(r)} Ytterligare bestämmelser finns i $k1 §.\n\n")
-    ref(s"$uri#P$k1")
+    block(s"${svSentence(r)} Ytterligare bestämmelser finns i $k1 §.",
+      s"$uri#P$k1")
 
     // chapter-section reference → own law (single merged link)
     val k2 = 1 + r.nextInt(20)
-    b.append(s"Enligt 2 kap. $k2 § gäller särskilda regler. ${svSentence(r)}\n\n")
-    ref(s"$uri#K2P$k2")
+    block(s"Enligt 2 kap. $k2 § gäller särskilda regler. ${svSentence(r)}",
+      s"$uri#K2P$k2")
 
     // section range → own law (two links)
     if (r.nextBool(0.5)) {
       val a = 2 + r.nextInt(10)
       val c = a + 1 + r.nextInt(10)
-      b.append(s"Vid tillsyn gäller $a-$c §§ i tillämpliga delar.\n\n")
-      ref(s"$uri#P$a"); ref(s"$uri#P$c")
+      block(s"Vid tillsyn gäller $a-$c §§ i tillämpliga delar.",
+        s"$uri#P$a", s"$uri#P$c")
     }
 
     // external anonymous law + ANAPHORIC back-reference ("samma lag")
@@ -654,32 +658,32 @@ object Corpus {
     if (m > 1) {
       val idJ = sfsIdOf(j)
       val k3 = 1 + r.nextInt(15)
-      b.append(s"Vid beräkningen tillämpas 6 kap. lagen ($idJ) om stöd. ")
-      b.append(s"Beloppet bestäms enligt $k3 § samma lag.\n\n")
-      ref(s"$base$idJ#K6") // the chapter link
-      ref(s"$base$idJ")    // the SFS-number link
-      ref(s"$base$idJ#P$k3") // the anaphoric back-reference
+      block(s"Vid beräkningen tillämpas 6 kap. lagen ($idJ) om stöd. " +
+        s"Beloppet bestäms enligt $k3 § samma lag.",
+        s"$base$idJ#K6", // the chapter link
+        s"$base$idJ",    // the SFS-number link
+        s"$base$idJ#P$k3") // the anaphoric back-reference
     }
 
     // dictionary-resolved named law (no SFS number in the text)
     if (m > 1 && r.nextBool(0.7)) {
       val j2 = other()
-      b.append(s"Motsvarande regler finns i ${lawNameOf(j2)}.\n\n")
-      ref(s"$base${sfsIdOf(j2)}")
+      block(s"Motsvarande regler finns i ${lawNameOf(j2)}.",
+        s"$base${sfsIdOf(j2)}")
     }
 
     // named law WITH its SFS number (teaches the in-document map)
     if (m > 1 && r.nextBool(0.4)) {
       val j3 = other()
-      b.append(s"Se även ${lawNameOf(j3)} (${sfsIdOf(j3)}).\n\n")
-      ref(s"$base${sfsIdOf(j3)}")
+      block(s"Se även ${lawNameOf(j3)} (${sfsIdOf(j3)}).",
+        s"$base${sfsIdOf(j3)}")
     }
 
     // change reference → own law's #L fragment
     if (r.nextBool(0.4)) {
       val j4 = other()
-      b.append(s"${svSentence(r)} Lag (${sfsIdOf(j4)}).\n\n")
-      ref(s"$uri#L${sfsIdOf(j4)}")
+      block(s"${svSentence(r)} Lag (${sfsIdOf(j4)}).",
+        s"$uri#L${sfsIdOf(j4)}")
     }
 
     // preparatory-works citation (the FORARBETEN family): prop with a
@@ -690,11 +694,11 @@ object Corpus {
       val rm2 = f"${(py + 1) % 100}%02d"
       if (r.nextBool(0.5)) {
         val page = 10 + r.nextInt(300)
-        b.append(s"Förarbetena finns i prop. $py/$rm2:$pn s. $page.\n\n")
-        ref(s"${EntityDict.base}/prop/$py/$rm2:$pn#sid$page")
+        block(s"Förarbetena finns i prop. $py/$rm2:$pn s. $page.",
+          s"${EntityDict.base}/prop/$py/$rm2:$pn#sid$page")
       } else {
-        b.append(s"Frågan utreddes i SOU $py:$pn.\n\n")
-        ref(s"${EntityDict.base}/sou/$py:$pn")
+        block(s"Frågan utreddes i SOU $py:$pn.",
+          s"${EntityDict.base}/sou/$py:$pn")
       }
     }
 
@@ -702,8 +706,116 @@ object Corpus {
     if (r.nextBool(0.5)) {
       val cy = 1985 + r.nextInt(35)
       val cn = 1 + r.nextInt(150)
-      b.append(s"Jfr NJA $cy s. $cn om ${r.pick(svWords)}.\n\n")
-      ref(s"${EntityDict.base}/dom/nja/${cy}s$cn")
+      block(s"Jfr NJA $cy s. $cn om ${r.pick(svWords)}.",
+        s"${EntityDict.base}/dom/nja/${cy}s$cn")
+    }
+
+    // EU-act citation (the EULAGSTIFTNING family, EuActRef): a full
+    // directive reference, an artikel-in-regulation reference, or a bare
+    // regulation id — CELEX ground truth computed here from the template
+    // variables, independent of the parser (pre-2015 years, so no
+    // year/serial order flip to model)
+    if (r.nextBool(0.6)) {
+      val ey = 1975 + r.nextInt(35) // 1975..2009
+      // real EU citation style: two-digit act years before 2000 ("95/46"),
+      // four-digit from 2000 ("2003/98") — matches the CELEX expansion
+      // rule (two-digit years are 19xx, legalref.py:1338-1356)
+      val yTxt = if (ey < 2000) f"${ey % 100}%02d" else ey.toString
+      r.nextInt(3) match {
+        case 0 =>
+          val en = 1 + r.nextInt(150)
+          block(s"Kraven genomför rådets direktiv $yTxt/$en/EEG " +
+            s"om ${r.pick(svWords)}.",
+            f"${EntityDict.base}/ext/celex/3${ey}L$en%04d")
+        case 1 =>
+          val en = 100 + r.nextInt(1900) // serial < 2014: no order flip
+          val art = 1 + r.nextInt(25)
+          block(s"Detta följer av artikel $art i kommissionens " +
+            s"förordning (EG) nr $en/$yTxt.",
+            f"${EntityDict.base}/ext/celex/3${ey}R$en%04d#$art")
+        case _ =>
+          val en = 100 + r.nextInt(1900)
+          block(s"Jfr förordning (EEG) nr $en/$yTxt i denna del.",
+            f"${EntityDict.base}/ext/celex/3${ey}R$en%04d")
+      }
+    }
+
+    // agency-decision citation (the MYNDIGHETSBESLUT family, AvgRef):
+    // ARN board decisions, JO ombudsman dnr, or JK chancellor dnr — only
+    // the diarienummer links; JK ordinals are kept out of the 1980-2099
+    // looks-like-a-date window so the reference's date guard never fires
+    if (r.nextBool(0.6)) {
+      r.nextInt(3) match {
+        case 0 =>
+          val ay = 1992 + r.nextInt(20)
+          val an = 1000 + r.nextInt(9000)
+          block(s"Nämndens bedömning framgår av ARN:s änr $ay-$an.",
+            s"${EntityDict.base}/avg/arn/$ay-$an")
+        case 1 =>
+          val jy = 2000 + r.nextInt(15)
+          val jn = 1000 + r.nextInt(9000)
+          block(s"Se JO:s beslut den ${1 + r.nextInt(28)} april $jy, " +
+            s"dnr $jn-$jy.",
+            s"${EntityDict.base}/avg/jo/$jn-$jy")
+        case _ =>
+          val ko = 2100 + r.nextInt(5000) // outside the date window
+          val ky = f"${r.nextInt(100)}%02d"
+          val kd = 10 + r.nextInt(80)
+          block(s"JK fann i beslut, dnr $ko-$ky-$kd, att kraven " +
+            s"var uppfyllda.",
+            s"${EntityDict.base}/avg/jk/$ko-$ky-$kd")
+      }
+    }
+
+    // ---- assemble the statute: chapters of numbered sections (the
+    // SfsParser structure shape). Chapter 1 always gets >= 2 sections so
+    // the "2 kap." heading survives the parser's TOC guard (isKapitel's
+    // fake_chapter check, sfs_parser.py:650-663).
+    val bs = blocks.result()
+    val twoChapters = bs.size >= 4
+    val split = if (twoChapters) (bs.size + 1) / 2 else bs.size
+    val chapters: Vector[(String, String, Vector[(String, Vector[String])])] =
+      if (twoChapters)
+        Vector(("1", "Inledande bestämmelser", bs.take(split)),
+               ("2", "Särskilda bestämmelser", bs.drop(split)))
+      else Vector(("1", "Inledande bestämmelser", bs))
+    val headingPool = Vector("Särskilda villkor", "Tillsyn och kontroll",
+      "Övriga bestämmelser")
+    val midHeading = if (r.nextBool(0.5)) Some(r.pick(headingPool)) else None
+    val withList = r.nextBool(0.4)
+
+    val b = new StringBuilder
+    b.append(title).append("\n\n") // title line is NOT scanned (LawDoc)
+    chapters.foreach { case (kap, kapRubrik, secs) =>
+      val kapUri = s"$uri#K$kap"
+      b.append(s"$kap kap. $kapRubrik\n\n")
+      truth += Triple.uri(kapUri, Vocab.RDF_TYPE, Vocab.rpubl("Kapitel"), graph)
+      truth += Triple.uri(kapUri, Vocab.dcterms("isPartOf"), uri, graph)
+      truth += Triple.lit(kapUri, Vocab.rpubl("kapitelnummer"), kap, graph)
+      def sectionTruth(secUri: String, sec: String): Unit = {
+        truth += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.rpubl("Paragraf"), graph)
+        truth += Triple.uri(secUri, Vocab.dcterms("isPartOf"), kapUri, graph)
+        truth += Triple.lit(secUri, Vocab.rpubl("paragrafnummer"), sec, graph)
+      }
+      secs.zipWithIndex.foreach { case ((text, targets), sIdx) =>
+        val sec = (sIdx + 1).toString
+        val secUri = s"$uri#K${kap}P$sec"
+        // a mid-chapter headline before the LAST section of chapter 2
+        if (kap == "2" && sIdx == secs.size - 1 && sIdx > 0)
+          midHeading.foreach(h => b.append(h).append("\n\n"))
+        b.append(s"$sec § $text\n\n")
+        sectionTruth(secUri, sec)
+        targets.foreach(t =>
+          truth += Triple.uri(secUri, Vocab.dcterms("references"), t, graph))
+      }
+      // an UNCITED list section exercises the list structures
+      if (kap == "1" && withList) {
+        val sec = (secs.size + 1).toString
+        b.append(s"$sec § Vid prövningen beaktas följande\n\n")
+        b.append(s"1. ${r.pick(svWords)} och ${r.pick(svWords)}\n\n")
+        b.append(s"2. ${r.pick(svWords)} i ärendet\n\n")
+        sectionTruth(s"$uri#K${kap}P$sec", sec)
+      }
     }
 
     val commit = f"l${(seed ^ i) & 0xffffffffL}%08x"

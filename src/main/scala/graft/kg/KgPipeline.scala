@@ -218,9 +218,12 @@ object KgPipeline {
   }
 
   /** Mixed-family input: n RFC text files plus n/4 markdown READMEs plus
-    * n/4 HTML pages — DocParsers path dispatch (first-wins composite
-    * semantics) runs inside the driver-verified pipeline, not only in
-    * family specs. Executor-generated like synthesizeInput. */
+    * n/4 HTML pages plus n/4 Swedish statutes — DocParsers path dispatch
+    * (first-wins composite semantics) runs inside the driver-verified
+    * pipeline, not only in family specs, and the law family's structure
+    * sub-resources (#K..P.. sections, SfsParser) flow through linking,
+    * deps and the annotations isPartOf closure alongside rfc #S sections.
+    * Executor-generated like synthesizeInput. */
   def synthesizeMixedInput(spark: SparkSession, n: Long,
                            seed: Long): Dataset[SourceFile] = {
     import spark.implicits._
@@ -230,7 +233,9 @@ object KgPipeline {
       .map(i => Corpus.mdDoc(seed, i, n).src)
     val html = spark.range(0, n / 4, 1, par)
       .map(i => Corpus.htmlDoc(seed, i, n).src)
-    rfc.union(md).union(html)
+    val law = spark.range(0, n / 4, 1, par)
+      .map(i => Corpus.lawDoc(seed, i, n / 4).src)
+    rfc.union(md).union(html).union(law)
   }
 
   /** Swedish-law corpus (the LawRef family), executor-generated like the

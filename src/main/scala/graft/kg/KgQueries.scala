@@ -26,8 +26,9 @@ import org.apache.spark.sql.expressions.Window
 object KgQueries {
 
   final val N = 150L
-  /** ctx corpus size across all three families (N rfc + N/4 md + N/4 html). */
-  final val MixedN = N + 2 * (N / 4)
+  /** ctx corpus size across all four families
+    * (N rfc + N/4 md + N/4 html + N/4 law). */
+  final val MixedN = N + 3 * (N / 4)
   final val Seed = 42L
 
   /** One pipeline execution per SparkSession, shared across queries
@@ -450,6 +451,30 @@ object KgQueries {
           .cast("long").as("n_anaphoric"))
       .orderBy("target")
 
+  /** legaluri round-trip over the live mention stream (the Coin INVERSE,
+    * legaluri.py:202-238): every distinct cited target parsed back to
+    * typed attributes and re-minted; n_ok counts exact reconstructions.
+    * The DuckDB oracle classifies the URI shapes independently and sets
+    * n_ok = n_uris — hash equality therefore asserts the round-trip held
+    * for EVERY minted URI (a single unparseable or divergent URI breaks
+    * the compare). Runs as a map over the distinct targets — at corpus
+    * scale the distinct set is bounded by the citation space, and the
+    * parse is pure per-row Scala. */
+  def legalUriRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lawMentions(spark).select("candidateKey").distinct()
+      .as[String]
+      .map { uri =>
+        val p = LegalUri.graft.parse(uri)
+        val ok = p.exists(q => LegalUri.graft.construct(q) == uri)
+        (p.map(_.tpe).getOrElse(0), if (ok) 1L else 0L)
+      }
+      .toDF("tpe", "ok")
+      .groupBy("tpe")
+      .agg(count(lit(1)).as("n_uris"), sum("ok").as("n_ok"))
+      .orderBy("tpe")
+  }
+
   // ------------------------------------------------------ version history
   /** The corpus's version-history table, executor-generated (pure function
     * of (seed, i) — see Corpus.versionsFor). */
@@ -497,6 +522,7 @@ object KgQueries {
     "kg_asof_versions" -> asofVersions,
     "kg_asof_date_versions" -> ((s, d) => asofDateVersions(s, d)),
     "kg_law_refs" -> lawRefs,
+    "kg_legaluri" -> legalUriRoundtrip,
   )
 
   /** Stage tables dumped by graft.Verify under the sibling `<outDir>.base`
@@ -831,6 +857,22 @@ object KgQueries {
          cast(sum(CASE WHEN grammar = 'LawRefSame' THEN 1 ELSE 0 END)
               AS bigint) AS n_anaphoric
          FROM read_parquet('__BASE__/kg_law_mentions/*.parquet')
+         GROUP BY 1""",
+    // independent URI-shape classification (LegalRef mode codes); n_ok is
+    // asserted equal to n_uris — the Spark side must round-trip every URI
+    "kg_legaluri" ->
+      """SELECT CASE
+           WHEN candidateKey LIKE '%/sfs/%' THEN 1
+           WHEN candidateKey LIKE '%/ext/celex/%' THEN 4
+           WHEN candidateKey LIKE '%/prop/%' OR candidateKey LIKE '%/sou/%'
+             OR candidateKey LIKE '%/bet/%' OR candidateKey LIKE '%/ds/%'
+             THEN 6
+           WHEN candidateKey LIKE '%/dom/%' THEN 7
+           WHEN candidateKey LIKE '%/avg/%' THEN 8
+           ELSE 0 END AS tpe,
+         count(*) AS n_uris, count(*) AS n_ok
+         FROM (SELECT DISTINCT candidateKey
+               FROM read_parquet('__BASE__/kg_law_mentions/*.parquet'))
          GROUP BY 1""",
     "kg_asof_versions" ->
       """SELECT repo, path, commit, seq, sha256, committedAt

@@ -151,6 +151,12 @@ object Vocab {
     * (/root/reference/ferenda/sources/tech/rfc.py:524-535). */
   val RFC_NS = "http://example.org/ontology/rfc/"
   def rfc(local: String): String = RFC_NS + local
+  /** rpubl — the Swedish legal-publication ontology the reference's SFS
+    * repo types its structure elements with (rpubl:Kapitel/rpubl:Paragraf,
+    * /root/reference/ferenda/sources/legal/se/sfs.py:1127 and
+    * elements.py:191-217). */
+  val RPUBL = "http://rinfo.lagrummet.se/ns/2008/11/rinfo/publ#"
+  def rpubl(local: String): String = RPUBL + local
 }
 
 /** A detected citation mention inside one document.

@@ -3,15 +3,29 @@ package graft.parse
 import graft.kg.EntityDict
 import graft.model.{Mention, SourceFile, Triple, Vocab}
 
-/** Fourth document family: Swedish statute text (`*.law`), parsed by the
-  * stateful dictionary-driven [[LawRef]] citation parser — the graft
-  * counterpart of the reference's LegalRef-based SFS repository
-  * (/root/reference/ferenda/sources/legal/se/legalref.py driving
-  * sources/legal/se). One [[LawRef.Parser]] instance per document keeps
-  * the anaphora state (`lastLaw`, learned names) the family exists to
-  * exercise; the named-law dictionary is the corpus-level dictionary the
-  * pipeline would broadcast at deployment scale (the reference loads it
-  * from the rdfs:label graph, legalref.py:258-266).
+/** Fourth document family: Swedish statute text (`*.law`) — the graft
+  * counterpart of the reference's SFS repository
+  * (/root/reference/ferenda/sources/legal/se/sfs.py driving legalref.py).
+  *
+  * Two cooperating parsers per document:
+  *  - [[SfsParser]] builds the STRUCTURE tree (Kapitel/Paragraf/Stycke/
+  *    Rubrik/lists — sfs_parser.py's forfattningstext slice), from which
+  *    chapters and sections are emitted as sub-resources: `#K{n}` /
+  *    `#K{n}P{m}` fragments typed rpubl:Kapitel / rpubl:Paragraf with
+  *    dcterms:isPartOf chains (sfs.py:1127 predicate mapping) — so lagrum
+  *    mentions anchor to section entities exactly like rfc `#S` fragments
+  *    and the annotations isPartOf closure covers the law family;
+  *  - the five stateful citation parsers run over every text span IN
+  *    DOCUMENT ORDER, each mention anchored at the nearest enclosing
+  *    section's URI (the reference attaches reference triples to the
+  *    closest element carrying `about` — citationparser.py:98-165). One
+  *    [[LawRef.Parser]] instance per document keeps the anaphora state
+  *    (`lastLaw`, learned names) across stycken, exactly as the reference
+  *    keeps parser state across basefile paragraphs.
+  *
+  * The named-law dictionary is the corpus-level dictionary the pipeline
+  * would broadcast at deployment scale (the reference loads it from the
+  * rdfs:label graph, legalref.py:258-266).
   */
 object LawDoc {
 
@@ -44,15 +58,17 @@ object LawDoc {
     val title = headSplit(0).linesIterator.next().trim
     val body = if (headSplit.length > 1) headSplit(1) else ""
 
-    val conf = LawRef.Conf(base = base, baseLaw = Some(ownId),
-      namedLaws = dict)
-    val segs = LawRef.parse(body, conf)
-    // the other citation families over the same body (preparatory works,
-    // court reports): independent grammars, independent mention streams —
-    // the reference runs LegalRef with multiple modes the same way
+    // ---- structure (SfsParser: Forfattning → Kapitel → Paragraf → Stycke)
+    val tree = SfsParser.parse(body)
+
+    // ---- per-document stateful citation parsers (document order)
     val uriBase = s"${EntityDict.base}/"
-    val forarbSegs = new ForarbRef.Parser(ForarbRef.Conf(uriBase)).parse(body)
-    val domSegs = new RattsfallRef.Parser(RattsfallRef.Conf(uriBase)).parse(body)
+    val lawParser = new LawRef.Parser(LawRef.Conf(base = base,
+      baseLaw = Some(ownId), namedLaws = dict))
+    val forarbParser = new ForarbRef.Parser(ForarbRef.Conf(uriBase))
+    val domParser = new RattsfallRef.Parser(RattsfallRef.Conf(uriBase))
+    val euParser = new EuActRef.Parser(EuActRef.Conf(uriBase))
+    val avgParser = new AvgRef.Parser(AvgRef.Conf(uriBase))
 
     val triples = Vector.newBuilder[Triple]
     triples += Triple.lit(uri, Vocab.PROV + "wasGeneratedBy",
@@ -63,23 +79,60 @@ object LawDoc {
     triples += Triple.lit(uri, Vocab.dcterms("identifier"), ownId, graph)
 
     val mentions = Vector.newBuilder[Mention]
-    def collect(out: Vector[LawRef.Seg], grammar: LawRef.Seg => String): Unit = {
-      var off = 0
-      out.foreach { seg =>
-        seg.uri.foreach { target =>
-          mentions += Mention(docId, src.repo, src.lang, grammar(seg),
-            seg.text, off, off + seg.text.length, target, uri)
+    var off = 0
+    def scan(text: String, subj: String): Unit = {
+      def collect(segs: Vector[LawRef.Seg],
+                  grammar: LawRef.Seg => String): Unit = {
+        var o = off
+        segs.foreach { seg =>
+          seg.uri.foreach { target =>
+            mentions += Mention(docId, src.repo, src.lang, grammar(seg),
+              seg.text, o, o + seg.text.length, target, subj)
+          }
+          o += seg.text.length
         }
-        off += seg.text.length
       }
+      collect(lawParser.parse(text),
+        seg => if (seg.anaphoric) "LawRefSame" else "LawRef")
+      collect(forarbParser.parse(text), _ => "ForarbRef")
+      collect(domParser.parse(text), _ => "RattsfallRef")
+      collect(euParser.parse(text), _ => "EuActRef")
+      collect(avgParser.parse(text), _ => "AvgRef")
+      off += text.length + 1
     }
-    collect(segs, seg => if (seg.anaphoric) "LawRefSame" else "LawRef")
-    collect(forarbSegs, _ => "ForarbRef")
-    collect(domSegs, _ => "RattsfallRef")
 
-    val tree = TreeNode("Law",
-      children = body.split("\n\n+").toVector.filter(_.nonEmpty)
-        .map(p => TreeNode("Paragraph").appendText(p.trim)))
+    // "2 a" chapter/section ordinals → "2a" fragment slugs (the legaluri
+    // fragment alphabet, legaluri.py:63-65)
+    def slug(ord: String): String = ord.replace(" ", "")
+
+    def structureTriples(secUri: String, parentUri: String, tpe: String,
+                         numPred: String, ordinal: String): Unit = {
+      triples += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.rpubl(tpe), graph)
+      triples += Triple.uri(secUri, Vocab.dcterms("isPartOf"), parentUri, graph)
+      triples += Triple.lit(secUri, Vocab.rpubl(numPred), ordinal, graph)
+    }
+
+    /** Walk in document order: structure triples for Kapitel/Paragraf,
+      * citation scan over every text span anchored at the enclosing
+      * sub-resource. */
+    def walk(n: TreeNode, subj: String, kapFrag: String): Unit = n.tag match {
+      case "Kapitel" =>
+        val ord = n.attr("ordinal").get
+        val kf = "K" + slug(ord)
+        val kUri = s"$uri#$kf"
+        structureTriples(kUri, uri, "Kapitel", "kapitelnummer", ord)
+        n.children.foreach(walk(_, kUri, kf))
+      case "Paragraf" =>
+        val ord = n.attr("ordinal").get
+        val pf = kapFrag + "P" + slug(ord)
+        val pUri = s"$uri#$pf"
+        structureTriples(pUri, subj, "Paragraf", "paragrafnummer", ord)
+        n.children.foreach(walk(_, pUri, kapFrag))
+      case _ =>
+        n.text.foreach(scan(_, subj))
+        n.children.foreach(walk(_, subj, kapFrag))
+    }
+    walk(tree, uri, "")
 
     RfcDoc.Parsed(docId, uri, title, None, TreeNode.toXml(tree),
       RfcDoc.sha256Hex(src.content), triples.result(), mentions.result())

@@ -1,0 +1,412 @@
+package graft.parse
+
+import java.util.regex.Pattern
+
+/** Swedish statute STRUCTURE parser — the forfattningstext slice of the
+  * reference's SFS repository
+  * (/root/reference/ferenda/sources/legal/se/sfs_parser.py): consolidated
+  * statute text → a Forfattning element tree of Kapitel ("N kap."),
+  * Paragraf ("N §"), Stycke, Rubrik (headlines, with the
+  * headline/underrubrik level state machine) and the three list forms
+  * (NumreradLista / Bokstavslista / Strecksatslista), so sections become
+  * addressable sub-resources (#K..P.. fragments) exactly like rfc #S
+  * fragments.
+  *
+  * Faithfully kept semantics (all line-cited to sfs_parser.py):
+  *  - guess_state dispatch ORDER (sfs_parser.py:519-557): blank, kapitel,
+  *    paragraf, numrerad/strecksats/bokstavs-lista, rubrik, stycke;
+  *  - idOfKapitel (sfs_parser.py:675-731): the "N kap."/"N a kap." id with
+  *    the false-positive line-ending filters (",", ";", " och", " om",
+  *    " samt", "." unless the whole chunk is the id or it ends with
+  *    m.m./m.fl., and the trailing-§ cross-reference guard);
+  *  - isKapitel (sfs_parser.py:641-673): ordinal must compare >= the
+  *    current chapter (numcmp), with the fake_chapter TOC guard for a
+  *    first chapter whose single 1 § holds a table of contents;
+  *  - isParagraf/idOfParagraf (sfs_parser.py:836-892): "N §"/"N a §" id
+  *    (and the archaic "§ N." form), ordinal >= current section, and the
+  *    lowercase-after-id guard that filters mid-sentence references;
+  *  - isRubrik (sfs_parser.py:732-830): starts uppercase, <= 135 chars,
+  *    not paragraph/list-shaped, no sentence-final punctuation (with the
+  *    m.m./m.fl. exceptions), no change-note, and must be FOLLOWED by a
+  *    paragraf or another rubrik; a rubrik followed by a rubrik raises the
+  *    headline level so the follower becomes type=underrubrik
+  *    (sfs_parser.py:224-228);
+  *  - makeKapitel/makeParagraf/makeStycke loop shapes and their
+  *    state updates (sfs_parser.py:176-333), including the strict "only a
+  *    stycke can continue a paragraf" invariant (the reference's assert,
+  *    sfs_parser.py:303-305);
+  *  - lists attach to the enclosing Stycke, sublists to the last
+  *    Listelement (sfs_parser.py:313-409); list ordinals lose their
+  *    separator (idOfNumreradLista, sfs_parser.py:1205-1222).
+  *
+  * Scoped out (cited): Avdelning/Underavdelning roman-numeral divisions,
+  * tabeller, övergångsbestämmelser, bilagor, upphävda element and the
+  * /Upphör…/-/Träder i kraft…/ temporal annotations (andringsDatum) —
+  * the corpus statutes are consolidated text without in-force markers
+  * (sfs_parser.py:114-175, 418-517, 894-1199 document those branches).
+  *
+  * Pure per-row logic: one [[parse]] call per document inside a Dataset
+  * map stage — no Spark types, no shared state.
+  */
+object SfsParser {
+
+  // ---- regexes (sfs_parser.py:13-41; \xa7 == '§')
+  private val ChapterId = Pattern.compile("^(\\d+( \\w|))\\s[Kk][Aa][Pp]\\.")
+  private val SectionId = Pattern.compile("^(\\d+ ?\\w?) §[ .]")
+  private val SectionIdOld = Pattern.compile("^§ (\\d+ ?\\w?).")
+  private val DottedNumber = Pattern.compile("^(\\d+ ?\\w?)\\. ")
+  private val NumberRightPara = Pattern.compile("^(\\d+)\\) ")
+  private val Bokstavslista = Pattern.compile("^(\\w)\\) ")
+  private val Strecksatslista = Pattern.compile("^(- | |– |--)")
+  private val ChangeNote = Pattern.compile("(Lag|Förordning) \\(\\d{4}:\\d+\\)\\.?$")
+
+  /** util.numcmp over "2 a"-style ordinals: split into digit/non-digit
+    * runs, compare pairwise (numbers numerically). */
+  def numCmp(a: String, b: String): Int = {
+    def toks(s: String): Vector[Either[Long, String]] =
+      "\\d+|\\D+".r.findAllIn(s).toVector.map(t =>
+        if (t.head.isDigit) Left(t.toLong) else Right(t))
+    val (ta, tb) = (toks(a), toks(b))
+    ta.zipAll(tb, Right(""), Right("")).foreach {
+      case (Left(x), Left(y)) => if (x != y) return x.compare(y)
+      case (x, y) =>
+        val c = x.fold(_.toString, identity).compareTo(y.fold(_.toString, identity))
+        if (c != 0) return c
+    }
+    0
+  }
+
+  private def normalize(s: String): String =
+    s.trim.replaceAll("[\\s\\u00a0]+", " ")
+
+  /** Line/paragraph reader over the statute text (the reference's
+    * TextReader surface used by sfs_parser: peekline/peekparagraph(n)/
+    * readline/readparagraph). */
+  final class Reader(text: String) {
+    private val lines = text.split("\n", -1)
+    private val lastContent = lines.lastIndexWhere(_.trim.nonEmpty)
+    private var pos = 0
+    def eof: Boolean = pos > lastContent
+    def peekline(n: Int = 1): String =
+      if (pos + n - 1 < lines.length) lines(pos + n - 1) else ""
+    def readline(): String = { val l = peekline(); pos += 1; l }
+    /** nth upcoming paragraph (1-based), skipping leading blank lines. */
+    def peekparagraph(n: Int = 1): String = {
+      var p = pos
+      var remaining = n
+      while (remaining > 0) {
+        while (p < lines.length && lines(p).trim.isEmpty) p += 1
+        if (p >= lines.length) return ""
+        val start = p
+        while (p < lines.length && lines(p).trim.nonEmpty) p += 1
+        remaining -= 1
+        if (remaining == 0)
+          return lines.slice(start, p).mkString("\n")
+      }
+      ""
+    }
+    /** Read the current paragraph (content lines only; separator blanks
+      * stay for the blankline handler, as in guess_state). */
+    def readparagraph(): String = {
+      while (pos < lines.length && lines(pos).trim.isEmpty) pos += 1
+      val start = pos
+      while (pos < lines.length && lines(pos).trim.nonEmpty) pos += 1
+      lines.slice(start, pos).mkString("\n")
+    }
+  }
+
+  // ---- parser state (sfs_parser.py's `state` dict)
+  private final class St {
+    var currentChapter = "0"
+    var currentSection = "0"
+    var fakeChapter = "0"
+    var headlineLevel = 0
+  }
+
+  def parse(text: String): TreeNode = {
+    val reader = new Reader(text)
+    val st = new St
+
+    // ---- recognizers -----------------------------------------------
+    def idOfKapitel(p0: String): Option[String] = {
+      val p = p0.replace("\n", " ")
+      val m = ChapterId.matcher(p)
+      if (!m.find()) return None
+      // false-positive filters (sfs_parser.py:686-731)
+      val mmEnd = p.endsWith(" m.m.") || p.endsWith(" m. m.") ||
+        p.endsWith(" m.fl.") || p.endsWith(" m. fl.")
+      if (p.endsWith(",") || p.endsWith(";") || p.endsWith(" och") ||
+          p.endsWith(" om") || p.endsWith(" samt") ||
+          (p.endsWith(".") && !(m.end() == p.length || mmEnd))) return None
+      // "1 kap. 5 §"-style cross references are not chapter headings
+      if (p.endsWith(" §") || p.endsWith(" §§") ||
+          (p.endsWith(" stycket") && p.contains(" § "))) return None
+      Some(m.group(1))
+    }
+
+    def isKapitel(p: String): Boolean =
+      idOfKapitel(p) match {
+        case Some(ord) if numCmp(ord, st.currentChapter) >= 0 =>
+          if (st.currentChapter == "1" && st.currentSection == "1") {
+            // probably a TOC inside 1 kap. 1 § (sfs_parser.py:650-663)
+            if (numCmp(ord, st.fakeChapter) < 0) true
+            else { st.fakeChapter = ord; false }
+          } else true
+        case _ => false
+      }
+
+    def idOfParagraf(p: String): Option[String] = {
+      val m = SectionId.matcher(p)
+      if (m.find()) Some(m.group(1))
+      else {
+        val mo = SectionIdOld.matcher(p)
+        if (mo.find()) Some(mo.group(1)) else None
+      }
+    }
+
+    def isParagraf(p: String): Boolean =
+      idOfParagraf(p) match {
+        case None => false
+        case Some("1") => true
+        case Some(ord) =>
+          if (numCmp(ord, st.currentSection) < 0) false
+          else {
+            // mid-sentence references start lowercase after the id
+            // (sfs_parser.py:873-884)
+            val idx = ord.length + " § ".length
+            !(p.length > idx && p.charAt(idx).isLower)
+          }
+      }
+
+    def isNumreradLista(p: String): Boolean =
+      DottedNumber.matcher(p).find() || NumberRightPara.matcher(p).find()
+    def isStrecksatslista(p: String): Boolean =
+      Strecksatslista.matcher(p).find()
+    def isBokstavslista(p: String): Boolean =
+      Bokstavslista.matcher(p).find()
+
+    def isRubrik(p: String, indirect: Boolean): Boolean = {
+      if (p.isEmpty || (p.head.isLower && p.head.isLetter)) return false
+      if (p.startsWith("/Rubriken")) return false
+      if (p.length > 135) return false
+      if (isParagraf(p) || isNumreradLista(p) || isStrecksatslista(p))
+        return false
+      val mmEnd = p.endsWith("m.m.") || p.endsWith("m. m.") ||
+        p.endsWith("m.fl.") || p.endsWith("m. fl.")
+      if (p.endsWith(".") && !mmEnd) return false
+      if (p.endsWith(",") || p.endsWith(":") || p.endsWith("samt") ||
+          p.endsWith("eller")) return false
+      if (ChangeNote.matcher(p).find()) return false
+      if (p.startsWith("/") && p.endsWith("./")) return false
+      if (!indirect) {
+        val nextp = normalize(reader.peekparagraph(2))
+        if (!isParagraf(nextp) && !isRubrik(nextp, indirect = true))
+          return false
+        // rubrik followed by rubrik ⇒ followers are sub-headlines
+        // (sfs_parser.py:822-828)
+        if (isRubrik(nextp, indirect = true)) st.headlineLevel = 1
+      }
+      true
+    }
+
+    sealed trait Handler
+    case object Blank extends Handler
+    case object Kap extends Handler
+    case object Par extends Handler
+    case object NumLista extends Handler
+    case object StreckLista extends Handler
+    case object BokstavLista extends Handler
+    case object Rub extends Handler
+    case object StyckeH extends Handler
+    case object Eof extends Handler
+
+    /** guess_state (sfs_parser.py:519-557), in the reference's order. */
+    def guess(): Handler = {
+      if (reader.eof) Eof
+      else if (reader.peekline().trim.isEmpty) Blank
+      else {
+        val para = normalize(reader.peekparagraph())
+        val line = reader.peekline()
+        if (isKapitel(para)) Kap
+        else if (isParagraf(para)) Par
+        else if (isNumreradLista(line)) NumLista
+        else if (isStrecksatslista(line)) StreckLista
+        else if (isBokstavslista(line)) BokstavLista
+        else if (isRubrik(para, indirect = false)) Rub
+        else StyckeH
+      }
+    }
+
+    // ---- constructors ----------------------------------------------
+    def makeListelement(idPat: Pattern, ordinal: String): TreeNode = {
+      val raw = reader.readparagraph()
+      val body = idPat.matcher(normalize(raw)).replaceFirst("")
+      TreeNode("Listelement", Vector("ordinal" -> ordinal)).appendText(body)
+    }
+
+    def makeNumreradLista(): TreeNode = {
+      var n = TreeNode("NumreradLista")
+      var go = true
+      while (go && !reader.eof) {
+        val h = if (isNumreradLista(reader.peekline())) NumLista else guess()
+        h match {
+          case Blank => reader.readline()
+          case NumLista =>
+            val line = reader.peekline()
+            val m = DottedNumber.matcher(line)
+            val (ord, pat) =
+              if (m.find()) (m.group(1).replace(" ", ""), DottedNumber)
+              else {
+                val m2 = NumberRightPara.matcher(line)
+                m2.find(); (m2.group(1), NumberRightPara)
+              }
+            n = n.appendChild(makeListelement(pat, ord))
+          case (BokstavLista | StreckLista) if n.children.nonEmpty =>
+            // sublist attaches to the LAST listelement (sfs_parser.py:363-365)
+            val sub =
+              if (h == BokstavLista) makeBokstavslista() else makeStrecksatslista()
+            val kids = n.children
+            n = n.copy(children =
+              kids.init :+ kids.last.appendChild(sub))
+          case _ => go = false
+        }
+      }
+      n
+    }
+
+    def makeBokstavslista(): TreeNode = {
+      var n = TreeNode("Bokstavslista")
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case BokstavLista =>
+            val m = Bokstavslista.matcher(reader.peekline())
+            m.find()
+            n = n.appendChild(makeListelement(Bokstavslista, m.group(1)))
+          case _ => go = false
+        }
+      }
+      n
+    }
+
+    def makeStrecksatslista(): TreeNode = {
+      var n = TreeNode("Strecksatslista")
+      var cnt = 0
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case StreckLista =>
+            cnt += 1
+            n = n.appendChild(makeListelement(Strecksatslista, cnt.toString))
+          case _ => go = false
+        }
+      }
+      n
+    }
+
+    def makeStycke(initial: Option[String]): TreeNode = {
+      var s = TreeNode("Stycke")
+        .appendText(initial.getOrElse(normalize(reader.readparagraph())))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case NumLista => s = s.appendChild(makeNumreradLista())
+          case BokstavLista => s = s.appendChild(makeBokstavslista())
+          case StreckLista => s = s.appendChild(makeStrecksatslista())
+          case _ => go = false
+        }
+      }
+      s
+    }
+
+    def makeParagraf(): TreeNode = {
+      val para = normalize(reader.peekparagraph())
+      val ordinal = idOfParagraf(para).get
+      st.currentSection = ordinal
+      // read past the section id (sfs_parser.py:246-248)
+      val raw = reader.readparagraph()
+      val stripped = {
+        val n0 = normalize(raw)
+        val m = SectionId.matcher(n0)
+        if (m.find()) n0.substring(m.end()).trim
+        else {
+          val mo = SectionIdOld.matcher(n0)
+          if (mo.find()) n0.substring(mo.end()).trim else n0
+        }
+      }
+      var p = TreeNode("Paragraf", Vector("ordinal" -> ordinal))
+        .appendChild(makeStycke(Some(stripped)))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case Par | Kap | Rub | Eof => go = false
+          case StyckeH => p = p.appendChild(makeStycke(None))
+          case other =>
+            // the reference asserts only stycke continues a paragraf
+            // (sfs_parser.py:303-305)
+            throw new IllegalStateException(
+              s"unexpected $other inside paragraf $ordinal: " +
+              reader.peekline().take(60))
+        }
+      }
+      p
+    }
+
+    def makeRubrik(): TreeNode = {
+      val line = normalize(reader.readparagraph())
+      val attrs =
+        if (st.headlineLevel == 2) Vector("type" -> "underrubrik")
+        else {
+          if (st.headlineLevel == 1) st.headlineLevel = 2
+          Vector.empty[(String, String)]
+        }
+      TreeNode("Rubrik", attrs, text = Some(line))
+    }
+
+    def makeKapitel(): TreeNode = {
+      val para = normalize(reader.readparagraph())
+      val ordinal = idOfKapitel(para).get
+      st.headlineLevel = 0
+      st.currentSection = "0"
+      st.fakeChapter = "0"
+      st.currentChapter = ordinal
+      var k = TreeNode("Kapitel",
+        Vector("ordinal" -> ordinal, "rubrik" -> para))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case Kap | Eof => go = false
+          case Par => k = k.appendChild(makeParagraf())
+          case Rub => k = k.appendChild(makeRubrik())
+          case StyckeH => k = k.appendChild(makeStycke(None))
+          case NumLista => k = k.appendChild(makeNumreradLista())
+          case BokstavLista => k = k.appendChild(makeBokstavslista())
+          case StreckLista => k = k.appendChild(makeStrecksatslista())
+        }
+      }
+      k
+    }
+
+    // ---- makeForfattning (sfs_parser.py:83-111)
+    var b = TreeNode("Forfattning")
+    while (!reader.eof) {
+      guess() match {
+        case Blank => reader.readline()
+        case Eof => ()
+        case Kap => b = b.appendChild(makeKapitel())
+        case Par => b = b.appendChild(makeParagraf())
+        case Rub => b = b.appendChild(makeRubrik())
+        case StyckeH => b = b.appendChild(makeStycke(None))
+        case NumLista => b = b.appendChild(makeNumreradLista())
+        case BokstavLista => b = b.appendChild(makeBokstavslista())
+        case StreckLista => b = b.appendChild(makeStrecksatslista())
+      }
+    }
+    b
+  }
+}

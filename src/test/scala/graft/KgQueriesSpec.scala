@@ -52,10 +52,11 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ctx = KgQueries.ctx(spark)
     val ann = KgQueries.annotations(spark, "")
     // independent recomputation: resolve citing sections to docs via the
-    // docs table (sections are <docUri>#S..., so owner = substring before #)
+    // URI shape (rfc sections are <docUri>#S..., law sections <lawUri>#K..,
+    // so owner = substring before the fragment)
     val refs = ctx.triples
       .filter(col("pred") === Vocab.dcterms("references"))
-      .select(regexp_replace(col("subj"), "#S.*$", "").as("citingDoc"),
+      .select(regexp_replace(col("subj"), "#(S|K).*$", "").as("citingDoc"),
         col("obj").as("target"))
       .distinct()
     val expected = refs.groupBy("target")
@@ -75,6 +76,25 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         u.contains("/celex/") ||
         !u.startsWith("https://example.org/rfc/")))
     assert(sk.exists(_.contains("/celex/"))) // eulaw citations land here
+  }
+
+  test("law family flows through deps and annotations via #K..P.. anchors") {
+    // statute sections are sub-resources: citing side anchored at #K..P..,
+    // resolved to the owning law through the isPartOf closure — the same
+    // path rfc #S fragments take (VERDICT r3 next-round #3)
+    val ctx = KgQueries.ctx(spark)
+    assert(ctx.triples.filter(col("subj").contains("#K") &&
+      col("pred") === Vocab.dcterms("references")).count() > 0,
+      "no law-section-anchored reference triples")
+    assert(ctx.triples.filter(col("subj").contains("#K") &&
+      col("pred") === Vocab.dcterms("isPartOf")).count() > 0,
+      "no law-section isPartOf chains")
+    val deps = KgQueries.deps(spark, "")
+    assert(deps.filter(col("target").contains("/sfs/")).count() > 0,
+      "no law targets in the dependency table")
+    val ann = KgQueries.annotations(spark, "")
+    assert(ann.filter(col("target").contains("/sfs/")).count() > 0,
+      "no law targets in annotations")
   }
 
   test("canon map folds every alias to the minted /rfc/ URI") {

@@ -26,9 +26,11 @@ class LawDocSpec extends AnyFunSuite {
     var tp = 0; var fp = 0; var fn = 0
     docs.foreach { d =>
       val parsed = LawDoc.parse(d.src)
-      val got = parsed.mentions.map(_.candidateKey).toSet
+      // (anchor section, target) pairs — mentions must anchor at their
+      // enclosing #K..P.. sub-resource, not just hit the right target
+      val got = parsed.mentions.map(m => (m.subjUri, m.candidateKey)).toSet
       val want = d.truth.filter(_.pred == Vocab.dcterms("references"))
-        .map(_.obj).toSet
+        .map(t => (t.subj, t.obj)).toSet
       tp += (got & want).size
       fp += (got -- want).size
       fn += (want -- got).size
@@ -38,6 +40,31 @@ class LawDocSpec extends AnyFunSuite {
     }
     info(s"law-family mention P/R: tp=$tp fp=$fp fn=$fn")
     assert(fp == 0 && fn == 0)
+  }
+
+  test("statute structure triples match the generator's truth exactly") {
+    val structPreds = Set(Vocab.RDF_TYPE, Vocab.dcterms("isPartOf"),
+      Vocab.rpubl("kapitelnummer"), Vocab.rpubl("paragrafnummer"))
+    def structOf(ts: Seq[graft.model.Triple]) = ts
+      .filter(t => t.subj.contains("#K") && structPreds.contains(t.pred))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    docs.foreach { d =>
+      val got = structOf(LawDoc.parse(d.src).triples)
+      val want = structOf(d.truth)
+      assert(got == want,
+        s"${d.src.path}:\n extra=${got -- want}\n missing=${want -- got}" +
+          s"\n content:\n${d.src.content}")
+      assert(want.nonEmpty)
+      // every section chains to its chapter, every chapter to the law
+      val isPartOf = LawDoc.parse(d.src).triples
+        .filter(_.pred == Vocab.dcterms("isPartOf"))
+        .map(t => t.subj -> t.obj).toMap
+      isPartOf.foreach { case (child, parent) =>
+        if (child.contains("P"))
+          assert(parent.contains("#K") && child.startsWith(parent))
+        else assert(parent == LawDoc.base + LawDoc.sfsIdFromPath(d.src.path))
+      }
+    }
   }
 
   test("anaphoric back-references are present and resolve to the cited law") {
@@ -54,16 +81,23 @@ class LawDocSpec extends AnyFunSuite {
     }
   }
 
-  test("all four citation families produce mentions over the law corpus") {
+  test("all five citation families produce mentions over the law corpus") {
     val grammars = docs.flatMap(d => LawDoc.parse(d.src).mentions)
       .groupBy(_.grammar).view.mapValues(_.size).toMap
     assert(grammars.keySet == Set("LawRef", "LawRefSame", "ForarbRef",
-      "RattsfallRef"), grammars.toString)
-    // forarbete/court targets live in their own URI spaces
+      "RattsfallRef", "EuActRef", "AvgRef"), grammars.toString)
+    // each family's targets live in their own URI space
     val m = docs.flatMap(d => LawDoc.parse(d.src).mentions)
     assert(m.exists(_.candidateKey.contains("/prop/")))
     assert(m.exists(_.candidateKey.contains("/sou/")))
     assert(m.exists(_.candidateKey.contains("/dom/nja/")))
+    assert(m.exists(_.candidateKey.contains("/ext/celex/3")))
+    assert(m.exists(_.candidateKey.contains("/ext/celex/3") &&
+      m.exists(_.candidateKey.contains("#"))), "artikel fragment present")
+    Seq("arn", "jo", "jk").foreach { series =>
+      assert(m.exists(_.candidateKey.contains(s"/avg/$series/")),
+        s"missing $series agency-decision mentions")
+    }
   }
 
   test("doc triples carry type/title/identifier in the sv-law shape") {

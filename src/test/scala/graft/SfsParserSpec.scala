@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.{SfsParser, TreeNode}
+
+/** SFS statute-structure parser: the tree for a hand-written statute is
+  * derived BY HAND here (never by running the parser on itself), covering
+  * chapters (incl. "2 a kap." letter ordinals and the m.m. heading
+  * exception), sections with multiple stycken, rubrik/underrubrik levels,
+  * all three list forms with a sublist, the TOC fake-chapter guard
+  * (sfs_parser.py:650-663), and the false-positive filters. */
+class SfsParserSpec extends AnyFunSuite {
+
+  private def el(tag: String, attrs: (String, String)*)(
+      children: TreeNode*): TreeNode =
+    TreeNode(tag, attrs.toVector, None, children.toVector)
+  private def str(s: String): TreeNode = TreeNode.str(s)
+  private def rubrik(s: String, attrs: (String, String)*): TreeNode =
+    TreeNode("Rubrik", attrs.toVector, text = Some(s))
+
+  test("golden structure tree: chapters, sections, stycken, rubriker, lists") {
+    val text =
+      """1 kap. Inledande bestämmelser
+        |
+        |1 § Lagen gäller verksamhet som avses i 5 § andra stycket.
+        |
+        |Denna paragraf har två stycken.
+        |
+        |2 § Vid prövningen beaktas
+        |
+        |1. första punkten
+        |
+        |2. andra punkten med underpunkter
+        |
+        |a) liten bokstav
+        |
+        |b) andra bokstaven
+        |
+        |3. tredje punkten
+        |
+        |Särskilda villkor
+        |
+        |Närmare föreskrifter
+        |
+        |3 § Följande gäller
+        |
+        |- första strecksatsen
+        |
+        |- andra strecksatsen
+        |
+        |2 a kap. Avgifter m.m.
+        |
+        |1 § Avgift tas ut enligt denna paragraf. Lag (1998:204).
+        |""".stripMargin
+
+    val want = el("Forfattning")(
+      el("Kapitel", "ordinal" -> "1", "rubrik" -> "1 kap. Inledande bestämmelser")(
+        el("Paragraf", "ordinal" -> "1")(
+          el("Stycke")(str("Lagen gäller verksamhet som avses i 5 § andra stycket.")),
+          el("Stycke")(str("Denna paragraf har två stycken."))),
+        el("Paragraf", "ordinal" -> "2")(
+          el("Stycke")(
+            str("Vid prövningen beaktas"),
+            el("NumreradLista")(
+              el("Listelement", "ordinal" -> "1")(str("första punkten")),
+              el("Listelement", "ordinal" -> "2")(
+                str("andra punkten med underpunkter"),
+                el("Bokstavslista")(
+                  el("Listelement", "ordinal" -> "a")(str("liten bokstav")),
+                  el("Listelement", "ordinal" -> "b")(str("andra bokstaven")))),
+              el("Listelement", "ordinal" -> "3")(str("tredje punkten"))))),
+        rubrik("Särskilda villkor"),
+        rubrik("Närmare föreskrifter", "type" -> "underrubrik"),
+        el("Paragraf", "ordinal" -> "3")(
+          el("Stycke")(
+            str("Följande gäller"),
+            el("Strecksatslista")(
+              el("Listelement", "ordinal" -> "1")(str("första strecksatsen")),
+              el("Listelement", "ordinal" -> "2")(str("andra strecksatsen")))))),
+      el("Kapitel", "ordinal" -> "2 a", "rubrik" -> "2 a kap. Avgifter m.m.")(
+        el("Paragraf", "ordinal" -> "1")(
+          el("Stycke")(
+            str("Avgift tas ut enligt denna paragraf. Lag (1998:204).")))))
+
+    val got = SfsParser.parse(text)
+    assert(TreeNode.canonical(got) == TreeNode.canonical(want),
+      s"\ngot:  ${TreeNode.canonical(got)}\nwant: ${TreeNode.canonical(want)}")
+  }
+
+  test("TOC fake-chapter guard: chapter list inside 1 kap. 1 § is not a chapter") {
+    // the 2011:1244 shape (sfs_parser.py:650-663): a first chapter whose
+    // single 1 § lists the chapters; the listed "2 kap."/"3 kap." lines
+    // must NOT open chapters, but the REAL "2 kap." afterwards (smaller
+    // than the last fake) must.
+    val text =
+      """1 kap. Om lagen
+        |
+        |1 § Innehåll
+        |
+        |2 kap. Avgifter
+        |
+        |3 kap. Tillsyn och kontroll
+        |
+        |2 kap. Avgifter
+        |
+        |1 § Avgift tas ut.
+        |""".stripMargin
+    val got = SfsParser.parse(text)
+    val chapters = got.children.filter(_.tag == "Kapitel")
+    assert(chapters.map(_.attr("ordinal").get) == Vector("1", "2"))
+    // the real chapter 2 contains its section
+    assert(chapters(1).children.exists(c =>
+      c.tag == "Paragraf" && c.attr("ordinal").contains("1")))
+  }
+
+  test("false positives: cross references and list lines never open structure") {
+    // mid-sentence "5 §" with lowercase continuation is a reference, not a
+    // section (sfs_parser.py:873-884); "6 kap." ending in " och" is a TOC
+    // line, not a chapter (sfs_parser.py:686-704)
+    val text =
+      """1 kap. Regler
+        |
+        |1 § Första regeln finns här.
+        |
+        |2 § Andra regeln med två stycken.
+        |
+        |6 kap. handlar om annat och
+        |
+        |5 § i den delen gäller inte.
+        |""".stripMargin
+    val got = SfsParser.parse(text)
+    val kap = got.children.filter(_.tag == "Kapitel")
+    assert(kap.map(_.attr("ordinal").get) == Vector("1"))
+    val pars = kap.head.children.filter(_.tag == "Paragraf")
+    assert(pars.map(_.attr("ordinal").get) == Vector("1", "2"))
+    // both stray chunks land as extra stycken of 2 §
+    assert(pars(1).children.count(_.tag == "Stycke") == 3)
+  }
+
+  test("numCmp orders letter ordinals like the reference's numcmp") {
+    assert(SfsParser.numCmp("2", "10") < 0)
+    assert(SfsParser.numCmp("2 a", "2") > 0)
+    assert(SfsParser.numCmp("2 a", "2 b") < 0)
+    assert(SfsParser.numCmp("3", "2 a") > 0)
+    assert(SfsParser.numCmp("2", "2") == 0)
+  }
+}
