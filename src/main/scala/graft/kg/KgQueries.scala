@@ -363,18 +363,28 @@ object KgQueries {
       .orderBy("rk")
   }
 
+  /** Search range modifiers (fulltextindex.py:307-333). The open-ended
+    * forms use the reference's elasticsearch translation — STRICT lt/gt
+    * bounds (fulltextindex.py:856-866); Between keeps the inclusive
+    * bounds its whoosh NumericRange translation uses
+    * (fulltextindex.py:505-526). */
+  sealed trait RangeMod extends Serializable
+  final case class Less(max: Int) extends RangeMod
+  final case class More(min: Int) extends RangeMod
+  final case class Between(min: Int, max: Int) extends RangeMod
+
   /** Boosted multi-field search (fulltextindex.py:260-333: typed fields
     * with per-field boosts + Between/Less/More range modifiers): term
     * matches are counted per literal, weighted per field, summed per
-    * document, then range-filtered on issued year (the Between modifier).
-    * The field/boost table comes from the DERIVED index schema
-    * (Facets.makeSchema over the searchFacets — conflicting declarations
-    * would have thrown SchemaConflictError), not hardcoded literals.
-    * Integer counts × exact-binary boosts keep the double sum fp-exact
-    * for the oracle. */
+    * document, then range-filtered on issued year through the given
+    * [[RangeMod]]. The field/boost table comes from the DERIVED index
+    * schema (Facets.makeSchema over the searchFacets — conflicting
+    * declarations would have thrown SchemaConflictError), not hardcoded
+    * literals. Integer counts × exact-binary boosts keep the double sum
+    * fp-exact for the oracle. */
   def searchBoosted(spark: SparkSession, dir: String,
                     term: String = "protocol",
-                    yearFrom: Int = 1995, yearTo: Int = 2020): DataFrame = {
+                    range: RangeMod = Between(1995, 2020)): DataFrame = {
     val tr = t(ctx(spark))
     val lo = lower(col("obj"))
     val cnt = (length(lo) - length(regexp_replace(lo, term, ""))) / term.length
@@ -391,8 +401,12 @@ object KgQueries {
     val issued = tr.filter(col("pred") === Vocab.dcterms("issued"))
       .groupBy(col("subj").as("uri"))
       .agg(min(substring(col("obj"), 1, 4).cast("int")).as("year"))
-    val hits = scored.join(issued, Seq("uri"))
-      .filter(col("year").between(yearFrom, yearTo)) // Between modifier
+    val rangeCond = range match {
+      case Less(mx) => col("year") < mx
+      case More(mn) => col("year") > mn
+      case Between(mn, mx) => col("year").between(mn, mx)
+    }
+    val hits = scored.join(issued, Seq("uri")).filter(rangeCond)
     graft.rel.Ranking.globalRank(hits,
         Seq(col("score").desc, col("uri").asc), "rk")
       .select("rk", "uri", "score", "year")
@@ -518,6 +532,10 @@ object KgQueries {
     "kg_nt_roundtrip" -> ntRoundtrip,
     "kg_search" -> ((s, d) => search(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
+    "kg_search_boosted_less" -> ((s, d) =>
+      searchBoosted(s, d, range = Less(2006))),
+    "kg_search_boosted_more" -> ((s, d) =>
+      searchBoosted(s, d, range = More(2005))),
     "kg_latest_versions" -> latestVersions,
     "kg_asof_versions" -> asofVersions,
     "kg_asof_date_versions" -> ((s, d) => asofDateVersions(s, d)),
@@ -590,6 +608,29 @@ object KgQueries {
                  FROM typed t
                  LEFT JOIN f_title USING (uri) LEFT JOIN f_pub USING (uri)
                  LEFT JOIN f_iss USING (uri) LEFT JOIN f_cat USING (uri))"""
+
+  /** Boosted-search oracle, parameterized on the year-range predicate so
+    * the Between/Less/More modifier variants share one re-derivation. */
+  private def searchBoostedSql(whereYear: String): String =
+    s"""WITH tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
+       m AS (SELECT subj AS uri,
+           (length(lower(obj)) -
+            length(replace(lower(obj), 'protocol', ''))) / 8 AS c,
+           CASE WHEN pred = '${dct("title")}' THEN 4.0
+                WHEN pred = '${dct("identifier")}' THEN 2.0
+                ELSE 1.0 END AS boost
+         FROM tr WHERE objIsLiteral),
+       scored AS (SELECT uri, round(sum(c * boost), 2) AS score
+                  FROM m WHERE c > 0 GROUP BY 1),
+       iss AS (SELECT subj AS uri,
+                 min(cast(substr(obj, 1, 4) AS int)) AS year
+               FROM tr WHERE pred = '${dct("issued")}' GROUP BY 1),
+       hits AS (SELECT s.uri, s.score, i.year
+                FROM scored s JOIN iss i USING (uri)
+                WHERE $whereYear)
+       SELECT row_number() OVER (ORDER BY score DESC, uri ASC) AS rk,
+         uri, score, year
+       FROM hits"""
 
   val oracleSql: Map[String, String] = Map(
     // RE-DERIVES the materialize stage (VERDICT r2 #4): union of the
@@ -826,25 +867,11 @@ object KgQueries {
            cast(score AS double) AS score
          FROM ranked""",
     "kg_search_boosted" ->
-      s"""WITH tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
-         m AS (SELECT subj AS uri,
-             (length(lower(obj)) -
-              length(replace(lower(obj), 'protocol', ''))) / 8 AS c,
-             CASE WHEN pred = '${dct("title")}' THEN 4.0
-                  WHEN pred = '${dct("identifier")}' THEN 2.0
-                  ELSE 1.0 END AS boost
-           FROM tr WHERE objIsLiteral),
-         scored AS (SELECT uri, round(sum(c * boost), 2) AS score
-                    FROM m WHERE c > 0 GROUP BY 1),
-         iss AS (SELECT subj AS uri,
-                   min(cast(substr(obj, 1, 4) AS int)) AS year
-                 FROM tr WHERE pred = '${dct("issued")}' GROUP BY 1),
-         hits AS (SELECT s.uri, s.score, i.year
-                  FROM scored s JOIN iss i USING (uri)
-                  WHERE i.year BETWEEN 1995 AND 2020)
-         SELECT row_number() OVER (ORDER BY score DESC, uri ASC) AS rk,
-           uri, score, year
-         FROM hits""",
+      searchBoostedSql("i.year BETWEEN 1995 AND 2020"),
+    // Less/More open-ended modifiers: STRICT bounds, the reference's ES
+    // translation (fulltextindex.py:856-866)
+    "kg_search_boosted_less" -> searchBoostedSql("i.year < 2006"),
+    "kg_search_boosted_more" -> searchBoostedSql("i.year > 2005"),
     "kg_latest_versions" ->
       """SELECT repo, path, commit, seq, sha256, committedAt
          FROM (SELECT *, row_number() OVER (PARTITION BY repo, path

@@ -38,6 +38,12 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
             new java.io.ByteArrayInputStream(payload))
           assert(img.getWidth == meta.getAs[Int]("width"))
           assert(img.getHeight == meta.getAs[Int]("height"))
+        case "audio" =>
+          // REAL WAV bytes: RIFF/WAVE container magic
+          assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+          assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+          assert(meta.getAs[String]("codec") == "audio/wav")
+          assert(meta.getAs[Int]("duration_ms") > 0)
         case _ =>
           assert(payload.length == 32) // sha256 pseudo-bytes
           assert(meta.getAs[String]("codec") == "stub/v1")
@@ -45,6 +51,18 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(a.map(_.getAs[String]("modality")).distinct.length == 3)
+  }
+
+  test("WAV encode/decode round-trip: histogram equals direct computation") {
+    val seed = Array.tabulate(32)(i => (i * 11 + 3).toByte)
+    val samples = MultiModal.pcmSamples(seed, 1234)
+    val viaWav = MultiModal.decodeAudio(MultiModal.wavEncode(samples))
+    // direct amplitude histogram from the same samples, no codec
+    val direct = new Array[Int](16)
+    samples.foreach(s => direct((s + 32768) >> 12) += 1)
+    assert(viaWav.toSeq == direct.toSeq)
+    assert(viaWav.sum == 1234)
+    assert(viaWav.count(_ > 0) > 8, "amplitude bins should populate")
   }
 
   test("PNG encode/decode round-trip: histogram equals direct computation") {
@@ -79,6 +97,9 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
         case "image" =>
           val (w, h) = metaByid(r.getLong(0))
           assert(hist.sum == w * h) // one histogram entry per decoded pixel
+        case "audio" =>
+          // one entry per decoded 16-bit sample (500 + len % 2000)
+          assert(hist.sum >= 500 && hist.sum < 2500)
         case _ => assert(hist.sum == 32) // sha256 payload = 32 bytes
       }
       val e = r.getDouble(3)
