@@ -606,6 +606,139 @@ object Corpus {
     s"${ws.head.capitalize} avser ${ws.tail.mkString(" och ")} i ärendet."
   }
 
+  // ------------------------------------------------- dv (referat) family
+  private val dvCities = Vector("Örebro", "Malmö", "Uppsala", "Lund",
+    "Gävle", "Kalmar", "Borås", "Luleå")
+  private val dvSurnames = Vector("Berg", "Ek", "Holm", "Lind", "Sund",
+    "Dahl", "Falk", "Palm")
+  private val dvInitials = Vector("T.O.", "B.A.", "K.B.", "H.N.", "S.W.",
+    "M.J.", "I.C.", "C.A.")
+  private val svMonths = Vector("januari", "februari", "mars", "april",
+    "maj", "juni", "juli", "augusti", "september", "oktober", "november",
+    "december")
+
+  /** NJA id of referat i (unique year/page pairs). */
+  def njaIdOf(i: Long): (Int, Long) = ((1981 + (i % 40)).toInt, 1 + i)
+
+  /** Court-verdict referat i of an m-referat corpus citing laws from an
+    * mLaws-law corpus. Pure function of (seed, i, m, mLaws): NJA-shaped
+    * text in the wording patterns DvParser's matcher table recognizes
+    * (tingsrätt åklagar-instans → TR dom/domskäl/domslut → HD revision
+    * instans → optional betänkande → HD dom → HD:s avgörande → endmeta),
+    * carrying statute/NJA/prop citations with section-anchored ground
+    * truth, exactly like the statute family. */
+  def dvDoc(seed: Long, i: Long, m: Long, mLaws: Long): GenDoc = {
+    val r = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L) ^ 0x2545f4914f6cdd1dL)
+    val (year, page) = njaIdOf(i)
+    val repo = s"dv-${i % 2}"
+    val lang = "sv"
+    val basefile = s"HDO/B${100 + i}-${year % 100}"
+    val path = s"dv/$basefile.dom"
+    val graph = s"${EntityDict.base}/dataset/$repo"
+    val uri = s"${EntityDict.base}/dom/nja/${year}s$page"
+    val title = s"NJA $year s. $page"
+
+    val truth = Vector.newBuilder[Triple]
+    truth += Triple.uri(uri, Vocab.RDF_TYPE,
+      Vocab.rpubl("Rattsfallsreferat"), graph)
+    truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
+      lang = Some("sv"))
+    truth += Triple.lit(uri, Vocab.dcterms("identifier"), title, graph)
+    def part(iUri: String, parent: String, court: Option[String],
+             date: Option[String]): Unit = {
+      truth += Triple.uri(iUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"),
+        graph)
+      truth += Triple.uri(iUri, Vocab.dcterms("isPartOf"), parent, graph)
+      court.foreach(c =>
+        truth += Triple.lit(iUri, Vocab.dcterms("creator"), c, graph))
+      date.foreach(d => truth += Triple.lit(iUri,
+        Vocab.rpubl("avgorandedatum"), d, graph,
+        datatype = Some(Vocab.xsd("date"))))
+    }
+    def ref(subj: String, target: String): Unit =
+      truth += Triple.uri(subj, Vocab.dcterms("references"), target, graph)
+
+    val b = new StringBuilder
+    b.append(title).append("\n\n") // id line is NOT scanned
+
+    // TR instans: åklagar-sentence with a dictionary-resolved statute
+    // citation (the allm-åkl wording pattern)
+    val stad = r.pick(dvCities)
+    val trCourt = s"$stad TR"
+    val who = r.pick(dvInitials)
+    val lawJ = r.nextInt(math.max(1, mLaws.toInt))
+    val k1 = 1 + r.nextInt(20)
+    val i1 = s"$uri#I1"
+    b.append(s"Allmän åklagare yrkade vid $trCourt ansvar å $who för " +
+      s"brott mot $k1 § ${lawNameOf(lawJ)}.\n\n")
+    ref(i1, s"${EntityDict.base}/sfs/${sfsIdOf(lawJ)}#P$k1")
+
+    // TR dom line (tr-dom pattern; also opens Domskal via domskal-ref)
+    val d1 = 1 + r.nextInt(28)
+    val mon1 = r.pick(svMonths)
+    val y1 = year - 1
+    b.append(s"TR:n (ordf lagmannen ${r.pick(dvSurnames)}) anförde i dom " +
+      s"den $d1 $mon1 $y1:\n\n")
+    val iso1 = f"$y1%04d-${svMonths.indexOf(mon1) + 1}%02d-$d1%02d"
+    part(i1, uri, Some(trCourt), Some(iso1))
+
+    // TR domskäl with case + preparatory-works citations
+    val cy = 1985 + r.nextInt(30)
+    val cn = 1 + r.nextInt(200)
+    val py = 1990 + r.nextInt(25)
+    val rm = f"${(py + 1) % 100}%02d"
+    val pn = 1 + r.nextInt(150)
+    val pg = 10 + r.nextInt(200)
+    b.append(s"Domskäl. Åtalet får stöd av NJA $cy s. $cn och av " +
+      s"prop. $py/$rm:$pn s. $pg.\n\n")
+    ref(i1, s"${EntityDict.base}/dom/nja/${cy}s$cn")
+    ref(i1, s"${EntityDict.base}/prop/$py/$rm:$pn#sid$pg")
+
+    // TR domslut with an anaphoric back-reference to the cited statute
+    val k2 = 1 + r.nextInt(20)
+    b.append("Domslut\n\n")
+    b.append(s"TR:n dömde $who till böter enligt $k2 § samma lag.\n\n")
+    ref(i1, s"${EntityDict.base}/sfs/${sfsIdOf(lawJ)}#P$k2")
+
+    // HD instans (hd-revision pattern)
+    val i2 = s"$uri#I2"
+    b.append(s"$who (ombud advokaten ${r.pick(dvSurnames).head}.R.) sökte " +
+      s"revision och yrkade att HD måtte fastställa TR:ns dom.\n\n")
+
+    // optional betänkande, then the HD dom line
+    val withBetankande = r.nextBool(0.4)
+    val d2 = 1 + r.nextInt(28)
+    val mon2 = r.pick(svMonths)
+    val iso2 = f"$year%04d-${svMonths.indexOf(mon2) + 1}%02d-$d2%02d"
+    if (withBetankande) {
+      b.append("Målet avgjordes efter föredragning.\n\n")
+      b.append(s"HD (JustR:n ${r.pick(dvSurnames)}, ${r.pick(dvSurnames)}, " +
+        "referent) fattade slutligt beslut i enlighet med betänkandet.\n\n")
+      part(i2, uri, Some("HD"), None) // hd-fastst carries no date
+    } else {
+      b.append(s"HD (JustR:n ${r.pick(dvSurnames)} och ${r.pick(dvSurnames)}, " +
+        s"referent) meddelade den $d2 $mon2 $year följande dom:\n\n")
+      part(i2, uri, Some("HD"), Some(iso2))
+    }
+
+    // HD domskäl citing ANOTHER referat of this corpus (in-corpus link)
+    if (m > 1) {
+      val j = (i + 1 + r.nextInt((m - 1).toInt)) % m
+      val (jy, jp) = njaIdOf(j)
+      b.append(s"Domskäl. HD finner i likhet med NJA $jy s. $jp att " +
+        "åtalet ska bifallas.\n\n")
+      ref(i2, s"${EntityDict.base}/dom/nja/${jy}s$jp")
+    }
+
+    // HD domslut with an ordered paragraph, then the endmeta line
+    b.append("HD:s avgörande\n\n")
+    b.append("1. HD fastställer TR:ns domslut.\n\n")
+    b.append(s"HD:s beslut meddelat: den $d2 $mon2 $year.\n\n")
+
+    val commit = f"d${(seed ^ (i * 31)) & 0xffffffffL}%08x"
+    GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
+  }
+
   /** Law document i of an m-law corpus. Pure function of (seed, i, m). */
   def lawDoc(seed: Long, i: Long, m: Long): GenDoc = {
     val r = new Rng(seed ^ (i * 0x9e3779b97f4a7c15L) ^ 0x94d049bb133111ebL)
@@ -630,27 +763,32 @@ object Corpus {
     // ONE numbered section of the assembled statute below, so the ground
     // truth anchors every reference at its #K..P.. section subject — the
     // same sub-resource anchoring as rfc #S fragments (the structure truth
-    // the SfsParser slice must reproduce).
-    val blocks = Vector.newBuilder[(String, Vector[String])]
-    def block(text: String, targets: String*): Unit =
+    // the SfsParser slice must reproduce). A target is a FUNCTION of the
+    // chapter ordinal the block lands in: bare section references resolve
+    // against the enclosing chapter (legalref.py:845-851 attribute
+    // completion), so their truth depends on the assembly below.
+    val blocks = Vector.newBuilder[(String, Vector[String => String])]
+    def block(text: String, targets: (String => String)*): Unit =
       blocks += ((text, targets.toVector))
+    def fixed(t: String): String => String = _ => t
 
-    // relative section reference → own law
+    // relative section reference → own law, ENCLOSING chapter
     val k1 = 1 + r.nextInt(30)
     block(s"${svSentence(r)} Ytterligare bestämmelser finns i $k1 §.",
-      s"$uri#P$k1")
+      kap => s"$uri#K${kap}P$k1")
 
-    // chapter-section reference → own law (single merged link)
+    // chapter-section reference → own law (single merged link; explicit
+    // chapter stops the context fill)
     val k2 = 1 + r.nextInt(20)
     block(s"Enligt 2 kap. $k2 § gäller särskilda regler. ${svSentence(r)}",
-      s"$uri#K2P$k2")
+      fixed(s"$uri#K2P$k2"))
 
-    // section range → own law (two links)
+    // section range → own law, ENCLOSING chapter (two links)
     if (r.nextBool(0.5)) {
       val a = 2 + r.nextInt(10)
       val c = a + 1 + r.nextInt(10)
       block(s"Vid tillsyn gäller $a-$c §§ i tillämpliga delar.",
-        s"$uri#P$a", s"$uri#P$c")
+        kap => s"$uri#K${kap}P$a", kap => s"$uri#K${kap}P$c")
     }
 
     // external anonymous law + ANAPHORIC back-reference ("samma lag")
@@ -660,30 +798,30 @@ object Corpus {
       val k3 = 1 + r.nextInt(15)
       block(s"Vid beräkningen tillämpas 6 kap. lagen ($idJ) om stöd. " +
         s"Beloppet bestäms enligt $k3 § samma lag.",
-        s"$base$idJ#K6", // the chapter link
-        s"$base$idJ",    // the SFS-number link
-        s"$base$idJ#P$k3") // the anaphoric back-reference
+        fixed(s"$base$idJ#K6"), // the chapter link
+        fixed(s"$base$idJ"),    // the SFS-number link
+        fixed(s"$base$idJ#P$k3")) // anaphoric: explicit law, no ctx fill
     }
 
     // dictionary-resolved named law (no SFS number in the text)
     if (m > 1 && r.nextBool(0.7)) {
       val j2 = other()
       block(s"Motsvarande regler finns i ${lawNameOf(j2)}.",
-        s"$base${sfsIdOf(j2)}")
+        fixed(s"$base${sfsIdOf(j2)}"))
     }
 
     // named law WITH its SFS number (teaches the in-document map)
     if (m > 1 && r.nextBool(0.4)) {
       val j3 = other()
       block(s"Se även ${lawNameOf(j3)} (${sfsIdOf(j3)}).",
-        s"$base${sfsIdOf(j3)}")
+        fixed(s"$base${sfsIdOf(j3)}"))
     }
 
     // change reference → own law's #L fragment
     if (r.nextBool(0.4)) {
       val j4 = other()
       block(s"${svSentence(r)} Lag (${sfsIdOf(j4)}).",
-        s"$uri#L${sfsIdOf(j4)}")
+        fixed(s"$uri#L${sfsIdOf(j4)}"))
     }
 
     // preparatory-works citation (the FORARBETEN family): prop with a
@@ -695,10 +833,10 @@ object Corpus {
       if (r.nextBool(0.5)) {
         val page = 10 + r.nextInt(300)
         block(s"Förarbetena finns i prop. $py/$rm2:$pn s. $page.",
-          s"${EntityDict.base}/prop/$py/$rm2:$pn#sid$page")
+          fixed(s"${EntityDict.base}/prop/$py/$rm2:$pn#sid$page"))
       } else {
         block(s"Frågan utreddes i SOU $py:$pn.",
-          s"${EntityDict.base}/sou/$py:$pn")
+          fixed(s"${EntityDict.base}/sou/$py:$pn"))
       }
     }
 
@@ -707,7 +845,7 @@ object Corpus {
       val cy = 1985 + r.nextInt(35)
       val cn = 1 + r.nextInt(150)
       block(s"Jfr NJA $cy s. $cn om ${r.pick(svWords)}.",
-        s"${EntityDict.base}/dom/nja/${cy}s$cn")
+        fixed(s"${EntityDict.base}/dom/nja/${cy}s$cn"))
     }
 
     // EU-act citation (the EULAGSTIFTNING family, EuActRef): a full
@@ -726,17 +864,17 @@ object Corpus {
           val en = 1 + r.nextInt(150)
           block(s"Kraven genomför rådets direktiv $yTxt/$en/EEG " +
             s"om ${r.pick(svWords)}.",
-            f"${EntityDict.base}/ext/celex/3${ey}L$en%04d")
+            fixed(f"${EntityDict.base}/ext/celex/3${ey}L$en%04d"))
         case 1 =>
           val en = 100 + r.nextInt(1900) // serial < 2014: no order flip
           val art = 1 + r.nextInt(25)
           block(s"Detta följer av artikel $art i kommissionens " +
             s"förordning (EG) nr $en/$yTxt.",
-            f"${EntityDict.base}/ext/celex/3${ey}R$en%04d#$art")
+            fixed(f"${EntityDict.base}/ext/celex/3${ey}R$en%04d#$art"))
         case _ =>
           val en = 100 + r.nextInt(1900)
           block(s"Jfr förordning (EEG) nr $en/$yTxt i denna del.",
-            f"${EntityDict.base}/ext/celex/3${ey}R$en%04d")
+            fixed(f"${EntityDict.base}/ext/celex/3${ey}R$en%04d"))
       }
     }
 
@@ -750,20 +888,20 @@ object Corpus {
           val ay = 1992 + r.nextInt(20)
           val an = 1000 + r.nextInt(9000)
           block(s"Nämndens bedömning framgår av ARN:s änr $ay-$an.",
-            s"${EntityDict.base}/avg/arn/$ay-$an")
+            fixed(s"${EntityDict.base}/avg/arn/$ay-$an"))
         case 1 =>
           val jy = 2000 + r.nextInt(15)
           val jn = 1000 + r.nextInt(9000)
           block(s"Se JO:s beslut den ${1 + r.nextInt(28)} april $jy, " +
             s"dnr $jn-$jy.",
-            s"${EntityDict.base}/avg/jo/$jn-$jy")
+            fixed(s"${EntityDict.base}/avg/jo/$jn-$jy"))
         case _ =>
           val ko = 2100 + r.nextInt(5000) // outside the date window
           val ky = f"${r.nextInt(100)}%02d"
           val kd = 10 + r.nextInt(80)
           block(s"JK fann i beslut, dnr $ko-$ky-$kd, att kraven " +
             s"var uppfyllda.",
-            s"${EntityDict.base}/avg/jk/$ko-$ky-$kd")
+            fixed(s"${EntityDict.base}/avg/jk/$ko-$ky-$kd"))
       }
     }
 
@@ -774,7 +912,7 @@ object Corpus {
     val bs = blocks.result()
     val twoChapters = bs.size >= 4
     val split = if (twoChapters) (bs.size + 1) / 2 else bs.size
-    val chapters: Vector[(String, String, Vector[(String, Vector[String])])] =
+    val chapters: Vector[(String, String, Vector[(String, Vector[String => String])])] =
       if (twoChapters)
         Vector(("1", "Inledande bestämmelser", bs.take(split)),
                ("2", "Särskilda bestämmelser", bs.drop(split)))
@@ -805,8 +943,8 @@ object Corpus {
           midHeading.foreach(h => b.append(h).append("\n\n"))
         b.append(s"$sec § $text\n\n")
         sectionTruth(secUri, sec)
-        targets.foreach(t =>
-          truth += Triple.uri(secUri, Vocab.dcterms("references"), t, graph))
+        targets.foreach(tf => truth +=
+          Triple.uri(secUri, Vocab.dcterms("references"), tf(kap), graph))
       }
       // an UNCITED list section exercises the list structures
       if (kap == "1" && withList) {

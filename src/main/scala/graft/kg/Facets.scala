@@ -110,7 +110,9 @@ object Facets {
     * joins (multi-valued facets keep arrays; single pick min for
     * determinism). */
   def facetedData(triples: DataFrame, facets: Seq[Facet],
-                  typeFilter: Column => Column = _.startsWith(Vocab.RFC_NS))
+                  typeFilter: Column => Column = c =>
+                    c.startsWith(Vocab.RFC_NS) ||
+                      c === Vocab.rpubl("Rattsfallsreferat"))
       : DataFrame = {
     val typed = triples
       .filter(col("pred") === Vocab.RDF_TYPE && typeFilter(col("obj")))

@@ -235,7 +235,9 @@ object KgPipeline {
       .map(i => Corpus.htmlDoc(seed, i, n).src)
     val law = spark.range(0, n / 4, 1, par)
       .map(i => Corpus.lawDoc(seed, i, n / 4).src)
-    rfc.union(md).union(html).union(law)
+    val dv = spark.range(0, n / 8, 1, par)
+      .map(i => Corpus.dvDoc(seed, i, n / 8, n / 4).src)
+    rfc.union(md).union(html).union(law).union(dv)
   }
 
   /** Swedish-law corpus (the LawRef family), executor-generated like the

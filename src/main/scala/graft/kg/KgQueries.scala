@@ -26,9 +26,9 @@ import org.apache.spark.sql.expressions.Window
 object KgQueries {
 
   final val N = 150L
-  /** ctx corpus size across all four families
-    * (N rfc + N/4 md + N/4 html + N/4 law). */
-  final val MixedN = N + 3 * (N / 4)
+  /** ctx corpus size across all five families
+    * (N rfc + N/4 md + N/4 html + N/4 law + N/8 dv referats). */
+  final val MixedN = N + 3 * (N / 4) + N / 8
   final val Seed = 42L
 
   /** One pipeline execution per SparkSession, shared across queries
@@ -79,8 +79,12 @@ object KgQueries {
     * OPTIONAL ... }` as filter + pivot-by-join over the triple table. */
   def facetPivot(spark: SparkSession, dir: String): DataFrame = {
     val tr = t(ctx(spark))
+    // document-level types: the rfc ontology families plus the court
+    // referats (sub-resource types — bibo parts, rpubl chapters/sections —
+    // stay out of the document pivot)
     val typed = tr.filter(col("pred") === Vocab.RDF_TYPE &&
-        col("obj").startsWith(Vocab.RFC_NS))
+        (col("obj").startsWith(Vocab.RFC_NS) ||
+         col("obj") === Vocab.rpubl("Rattsfallsreferat")))
       .select(col("subj").as("uri"), col("obj").as("rdf_type"))
     def facetCol(pred: String, name: String) =
       tr.filter(col("pred") === pred)
@@ -465,6 +469,25 @@ object KgQueries {
           .cast("long").as("n_anaphoric"))
       .orderBy("target")
 
+  /** Referat-structure rollup (the DV family distributed): per court, the
+    * number of court-instance sub-resources (#I.. DocumentParts carrying
+    * dcterms:creator) and how many carry a decision date
+    * (rpubl:avgorandedatum) — the relate-style aggregation a consumer
+    * runs over the verdict graph. */
+  def dvStructure(spark: SparkSession, dir: String): DataFrame = {
+    val tr = t(ctx(spark))
+    val creators = tr.filter(col("pred") === Vocab.dcterms("creator") &&
+        col("subj").contains("#I"))
+      .select(col("subj"), col("obj").as("court"))
+    val dated = tr.filter(col("pred") === Vocab.rpubl("avgorandedatum"))
+      .select(col("subj")).distinct().withColumn("dated", lit(1))
+    creators.join(dated, Seq("subj"), "left")
+      .groupBy("court")
+      .agg(count(lit(1)).as("n_instans"),
+        sum(coalesce(col("dated"), lit(0))).cast("long").as("n_dated"))
+      .orderBy("court")
+  }
+
   /** legaluri round-trip over the live mention stream (the Coin INVERSE,
     * legaluri.py:202-238): every distinct cited target parsed back to
     * typed attributes and re-minted; n_ok counts exact reconstructions.
@@ -541,6 +564,7 @@ object KgQueries {
     "kg_asof_date_versions" -> ((s, d) => asofDateVersions(s, d)),
     "kg_law_refs" -> lawRefs,
     "kg_legaluri" -> legalUriRoundtrip,
+    "kg_dv_structure" -> dvStructure,
   )
 
   /** Stage tables dumped by graft.Verify under the sibling `<outDir>.base`
@@ -594,7 +618,9 @@ object KgQueries {
   private val pivotCte =
     s"""tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
        typed AS (SELECT subj AS uri, obj AS rdf_type FROM tr
-                 WHERE pred = '$RdfType' AND obj LIKE '${Vocab.RFC_NS}%'),
+                 WHERE pred = '$RdfType'
+                   AND (obj LIKE '${Vocab.RFC_NS}%'
+                        OR obj = '${Vocab.rpubl("Rattsfallsreferat")}')),
        f_title AS (SELECT subj AS uri, min(obj) AS title FROM tr
                    WHERE pred = '${dct("title")}' GROUP BY 1),
        f_pub AS (SELECT subj AS uri, min(obj) AS publisher FROM tr
@@ -884,6 +910,18 @@ object KgQueries {
          cast(sum(CASE WHEN grammar = 'LawRefSame' THEN 1 ELSE 0 END)
               AS bigint) AS n_anaphoric
          FROM read_parquet('__BASE__/kg_law_mentions/*.parquet')
+         GROUP BY 1""",
+    "kg_dv_structure" ->
+      s"""SELECT c.obj AS court, count(*) AS n_instans,
+         cast(sum(CASE WHEN d.subj IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           AS n_dated
+         FROM (SELECT subj, obj
+               FROM read_parquet('__BASE__/kg_triples/*.parquet')
+               WHERE pred = '${dct("creator")}' AND subj LIKE '%#I%') c
+         LEFT JOIN (SELECT DISTINCT subj
+               FROM read_parquet('__BASE__/kg_triples/*.parquet')
+               WHERE pred = '${Vocab.rpubl("avgorandedatum")}') d
+           USING (subj)
          GROUP BY 1""",
     // independent URI-shape classification (LegalRef mode codes); n_ok is
     // asserted equal to n_uris — the Spark side must round-trip every URI

@@ -114,25 +114,36 @@ object LawDoc {
 
     /** Walk in document order: structure triples for Kapitel/Paragraf,
       * citation scan over every text span anchored at the enclosing
-      * sub-resource. */
-    def walk(n: TreeNode, subj: String, kapFrag: String): Unit = n.tag match {
-      case "Kapitel" =>
-        val ord = n.attr("ordinal").get
-        val kf = "K" + slug(ord)
-        val kUri = s"$uri#$kf"
-        structureTriples(kUri, uri, "Kapitel", "kapitelnummer", ord)
-        n.children.foreach(walk(_, kUri, kf))
-      case "Paragraf" =>
-        val ord = n.attr("ordinal").get
-        val pf = kapFrag + "P" + slug(ord)
-        val pUri = s"$uri#$pf"
-        structureTriples(pUri, subj, "Paragraf", "paragrafnummer", ord)
-        n.children.foreach(walk(_, pUri, kapFrag))
-      case _ =>
-        n.text.foreach(scan(_, subj))
-        n.children.foreach(walk(_, subj, kapFrag))
-    }
-    walk(tree, uri, "")
+      * sub-resource, with the enclosing (chapter, section) ordinals fed
+      * to the LawRef parser as base context (the reference derives
+      * baseuri_attributes from the nearest `about` URI the same way,
+      * swedishlegalsource.py:1653-1668). Headings are never scanned
+      * (parse_recursive skips Rubrik/H1-H3/links,
+      * swedishlegalsource.py:1624-1631). */
+    def walk(n: TreeNode, subj: String, kapFrag: String,
+             ctxCh: Option[String], ctxSec: Option[String]): Unit =
+      n.tag match {
+        case "Kapitel" =>
+          val ord = n.attr("ordinal").get
+          val kf = "K" + slug(ord)
+          val kUri = s"$uri#$kf"
+          structureTriples(kUri, uri, "Kapitel", "kapitelnummer", ord)
+          n.children.foreach(walk(_, kUri, kf, Some(ord), None))
+        case "Paragraf" =>
+          val ord = n.attr("ordinal").get
+          val pf = kapFrag + "P" + slug(ord)
+          val pUri = s"$uri#$pf"
+          structureTriples(pUri, subj, "Paragraf", "paragrafnummer", ord)
+          n.children.foreach(walk(_, pUri, kapFrag, ctxCh, Some(ord)))
+        case "Rubrik" => () // headings are not citation-scanned
+        case _ =>
+          n.text.foreach { t =>
+            lawParser.setContext(ctxCh, ctxSec)
+            scan(t, subj)
+          }
+          n.children.foreach(walk(_, subj, kapFrag, ctxCh, ctxSec))
+      }
+    walk(tree, uri, "", None, None)
 
     RfcDoc.Parsed(docId, uri, title, None, TreeNode.toXml(tree),
       RfcDoc.sha256Hex(src.content), triples.result(), mentions.result())

@@ -184,6 +184,19 @@ object LawRef {
     private def secIdNorm(text: String): String =
       text.replaceAll("\\s+", "")
 
+    /** Enclosing-element context (the reference's baseuri_attributes
+      * derived from the nearest `about` URI, swedishlegalsource.py:
+      * 1653-1668): when the scanned text sits inside a statute chapter/
+      * section, relative references complete against it. Set per text
+      * span by the structure-aware caller (LawDoc); None outside statute
+      * structure (golden fixtures, nobase mode). */
+    private var ctxChapter: Option[String] = None
+    private var ctxSection: Option[String] = None
+    def setContext(chapter: Option[String], section: Option[String]): Unit = {
+      ctxChapter = chapter
+      ctxSection = section
+    }
+
     private def uriOf(law: Option[String], chapter: Option[String] = None,
                       section: Option[String] = None,
                       piece: Option[String] = None,
@@ -192,10 +205,23 @@ object LawRef {
                       sentence: Option[String] = None,
                       element: Option[String] = None): Option[String] = {
       val l = law.orElse(baseLaw).getOrElse(return None)
+      // attribute completion from the base context (legalref.py:845-851):
+      // base attributes fill in (law, chapter, section) order, STOPPING
+      // at the first attribute the citation itself specifies — so a bare
+      // "14 §" inside 2 kap. resolves to #K2P14, a bare "andra stycket"
+      // inside 2 kap. 5 § to #K2P5S2, while an explicit law ("4 § lagen
+      // (…)", "samma lag") or chapter ("3 kap. 14 §") stops the fill.
+      // Change refs (lawref) keep only law+lawref (legalref.py:853-856).
+      val specLaw = law.isDefined || lawref.isDefined
+      val chap =
+        if (!specLaw && chapter.isEmpty) ctxChapter else chapter
+      val sec =
+        if (!specLaw && chapter.isEmpty && section.isEmpty) ctxSection
+        else section
       val frag = new StringBuilder
       lawref.foreach(r => frag.append("L").append(r))
-      chapter.foreach(c => frag.append("K").append(secIdNorm(c)))
-      section.foreach(x => frag.append("P").append(secIdNorm(x)))
+      chap.foreach(c => frag.append("K").append(secIdNorm(c)))
+      sec.foreach(x => frag.append("P").append(secIdNorm(x)))
       element.foreach(x => frag.append("O").append(x)) // 'mom.' (Element)
       // an item without an explicit piece means "first piece"
       // (sfs_format_uri, legalref.py:857-858)

@@ -162,6 +162,7 @@ object DocParsers {
     Entry("html", p => p.path.endsWith(".html") || p.path.endsWith(".htm"),
       HtmlDoc.parse),
     Entry("law", _.path.endsWith(".law"), p => LawDoc.parse(p)),
+    Entry("dv", _.path.endsWith(".dom"), p => DvDoc.parse(p)),
     Entry("rfc", _ => true, RfcDoc.parse)) // catch-all, lowest priority
 
   def parse(src: SourceFile): RfcDoc.Parsed =

@@ -67,6 +67,23 @@ class LawDocSpec extends AnyFunSuite {
     }
   }
 
+  test("bare section refs resolve against the enclosing chapter context") {
+    // legalref.py:845-851 attribute completion: "14 §" inside 2 kap.
+    // means 2 kap. 14 § — the target carries the ENCLOSING chapter
+    val m = docs.flatMap(d => LawDoc.parse(d.src).mentions)
+      .filter(x => x.grammar == "LawRef" && !x.matchText.contains("kap"))
+    val ctxResolved =
+      m.filter(_.candidateKey.matches(".*/sfs/[^#]+#K\\d+P\\d+$"))
+    assert(ctxResolved.nonEmpty, "no context-resolved bare section refs")
+    ctxResolved.foreach { x =>
+      val ownLaw = x.subjUri.takeWhile(_ != '#')
+      if (x.candidateKey.startsWith(ownLaw + "#")) {
+        val anchorKap = x.subjUri.replaceAll(".*#K(\\d+)P.*", "$1")
+        assert(x.candidateKey.contains(s"#K${anchorKap}P"), x.toString)
+      }
+    }
+  }
+
   test("anaphoric back-references are present and resolve to the cited law") {
     val anaphoric = docs.flatMap { d =>
       LawDoc.parse(d.src).mentions.filter(_.grammar == "LawRefSame")
