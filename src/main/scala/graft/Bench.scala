@@ -76,6 +76,54 @@ object Bench {
   final case class KgRunResult(wallSec: Double, triples: Long,
       busy: Double, cpu: Double)
 
+  // ---------------------------------------- self-qualification decision
+  /** One recorded scaling sample. */
+  final case class Sample(level: Int, tag: String, r: KgRunResult) {
+    def cpuSec: Double = r.cpu * r.wallSec
+  }
+
+  /** cpu-second inflation ratio above which a sample is considered
+    * hypervisor-contended (both levels run the identical plan on
+    * identical input, so cpu-seconds are level-invariant; the cleanest
+    * observed sample estimates the true work). */
+  final val ContentionRatio = 1.2
+  final val MaxRetriesPerLevel = 2
+  final val EffGate = 0.8
+
+  /** The self-qualification step (VERDICT r3 "What's wrong" #1), pure so
+    * BenchSpec can drive it through every branch: given the samples so
+    * far, either request one more run of a contended level
+    * (Left(level)) or finish with a qualification marker (Right(...)).
+    *  - efficiency >= gate            → "clean"
+    *  - below gate, chosen sample of a level burned > ratio × the
+    *    cleanest cpu-seconds, retries left → retry that level
+    *  - retries spent, signature still present → "capacity-bound: …"
+    *  - below gate with BALANCED cpu-seconds → "genuine: …" (a real
+    *    plan property — never explained away) */
+  def qualifyStep(samples: Seq[Sample], nSmall: Int, nBig: Int,
+                  retryCount: Map[Int, Int]): Either[Int, String] = {
+    def chosen(level: Int): Sample =
+      samples.filter(_.level == level).minBy(_.r.wallSec)
+    val (s, b) = (chosen(nSmall), chosen(nBig))
+    val eff = ((b.r.triples / b.r.wallSec) / (s.r.triples / s.r.wallSec)) /
+      (nBig.toDouble / nSmall)
+    if (eff >= EffGate) return Right("clean")
+    val refCpuSec = samples.map(_.cpuSec).min
+    val inflated = Seq(nBig -> b, nSmall -> s).collectFirst {
+      case (lvl, smp) if smp.cpuSec > ContentionRatio * refCpuSec => lvl
+    }
+    inflated match {
+      case Some(lvl) if retryCount(lvl) < MaxRetriesPerLevel => Left(lvl)
+      case Some(lvl) =>
+        val smp = if (lvl == nBig) b else s
+        Right(f"capacity-bound: chosen n$lvl%d sample burned " +
+          f"${smp.cpuSec}%.0f cpu-sec vs $refCpuSec%.0f cleanest " +
+          f"(> $ContentionRatio%.1fx) after ${retryCount(lvl)}%d retries")
+      case None =>
+        Right("genuine: cpu-seconds balanced across levels")
+    }
+  }
+
   /** One full pipeline run with achieved-concurrency metrics. The input
     * table is materialized to parquet UNTIMED first: the measured job is
     * the pipeline reading an existing Iceberg-shaped source table (the
@@ -184,13 +232,9 @@ object Bench {
     // by the hypervisor, and that level is re-run (bounded) until a clean
     // window is found or the retry budget is spent. EVERY sample lands in
     // the output JSON so the chosen pair carries its own evidence.
-    val samples =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, String, KgRunResult)]
-    def takeSample(level: Int, warm: Boolean, tag: String): KgRunResult = {
-      val r = measuredKgRun(level, kgN, warm, tag)
-      samples += ((level, tag, r))
-      r
-    }
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    def takeSample(level: Int, warm: Boolean, tag: String): Unit =
+      samples += Sample(level, tag, measuredKgRun(level, kgN, warm, tag))
     takeSample(nSmall, warm = true, "mSa")
     takeSample(nBig, warm = false, "mBa")
     takeSample(nSmall, warm = false, "mSb")
@@ -200,52 +244,22 @@ object Bench {
     // a noisy 4N sample is what understates efficiency (a noisy N sample
     // overstates it, which min-of-2 on N already guards)
     takeSample(nBig, warm = false, "mBc")
-    val kgTriples = samples.head._3.triples
-    require(samples.forall(_._3.triples == kgTriples),
-      s"nondeterministic pipeline: ${samples.map(_._3.triples).mkString(",")}")
+    val kgTriples = samples.head.r.triples
+    require(samples.forall(_.r.triples == kgTriples),
+      s"nondeterministic pipeline: ${samples.map(_.r.triples).mkString(",")}")
 
     def cpuSecOf(r: KgRunResult): Double = r.cpu * r.wallSec
     def chosen(level: Int): KgRunResult =
-      samples.collect { case (`level`, _, r) => r }.minBy(_.wallSec)
-    def effOf(s: KgRunResult, b: KgRunResult): Double =
-      ((kgTriples / b.wallSec) / (kgTriples / s.wallSec)) /
-        (nBig.toDouble / nSmall)
-    // cleanest cpu-seconds seen anywhere = best estimate of the true work
-    // (contention only ever INFLATES cpu-seconds for this fixed plan)
-    def refCpuSec: Double = samples.map(t => cpuSecOf(t._3)).min
-    val ContentionRatio = 1.2
-    val maxRetriesPerLevel = 2
+      samples.filter(_.level == level).map(_.r).minBy(_.wallSec)
     val retryCount = scala.collection.mutable.Map(nSmall -> 0, nBig -> 0)
-    var qualification = "clean"
-    var done = false
-    while (!done) {
-      val (s, b) = (chosen(nSmall), chosen(nBig))
-      if (effOf(s, b) >= 0.8) { qualification = "clean"; done = true }
-      else {
-        // which chosen sample shows the contention signature?
-        val inflated = Seq(nBig -> b, nSmall -> s).collectFirst {
-          case (lvl, r) if cpuSecOf(r) > ContentionRatio * refCpuSec => lvl
-        }
-        inflated match {
-          case Some(lvl) if retryCount(lvl) < maxRetriesPerLevel =>
-            retryCount(lvl) += 1
-            takeSample(lvl, warm = false,
-              s"retry${if (lvl == nBig) "B" else "S"}${retryCount(lvl)}")
-          case Some(lvl) =>
-            // retry budget spent with the signature still present: the box
-            // withheld cores for the whole window — capacity-bound, not a
-            // plan serialization point (busy_* below shows plan parallelism)
-            qualification = f"capacity-bound: chosen n$lvl%d sample burned " +
-              f"${cpuSecOf(if (lvl == nBig) b else s)}%.0f cpu-sec vs " +
-              f"$refCpuSec%.0f cleanest (> ${ContentionRatio}%.1fx) after " +
-              f"${retryCount(lvl)}%d retries"
-            done = true
-          case None =>
-            // efficiency below gate but cpu-seconds balanced: that is a
-            // genuine plan property, not noise — report it as such
-            qualification = "genuine: cpu-seconds balanced across levels"
-            done = true
-        }
+    var qualification = ""
+    while (qualification.isEmpty) {
+      qualifyStep(samples.toSeq, nSmall, nBig, retryCount.toMap) match {
+        case Left(lvl) =>
+          retryCount(lvl) += 1
+          takeSample(lvl, warm = false,
+            s"retry${if (lvl == nBig) "B" else "S"}${retryCount(lvl)}")
+        case Right(q) => qualification = q
       }
     }
     val small = chosen(nSmall)
@@ -253,7 +267,7 @@ object Bench {
 
     val tpsBig = kgTriples / big.wallSec
     val tpsSmall = kgTriples / small.wallSec
-    val eff = effOf(small, big)
+    val eff = (tpsBig / tpsSmall) / (nBig.toDouble / nSmall)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -265,11 +279,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + big.wallSec + small.wallSec
-    val sampleJson = samples.map { case (lvl, tag, r) =>
-      val mark = if ((lvl == nSmall && (r eq small)) ||
-                     (lvl == nBig && (r eq big))) ",\"chosen\":true" else ""
-      f"""{"level":$lvl,"tag":${jstr(tag)},"wall_sec":${r.wallSec}%.2f,""" +
-      f""""cpu_sec":${cpuSecOf(r)}%.1f,"busy":${r.busy}%.2f$mark}"""
+    val sampleJson = samples.map { s =>
+      val mark = if ((s.level == nSmall && (s.r eq small)) ||
+                     (s.level == nBig && (s.r eq big))) ",\"chosen\":true"
+                 else ""
+      f"""{"level":${s.level},"tag":${jstr(s.tag)},""" +
+      f""""wall_sec":${s.r.wallSec}%.2f,""" +
+      f""""cpu_sec":${cpuSecOf(s.r)}%.1f,"busy":${s.r.busy}%.2f$mark}"""
     }.mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
