@@ -597,6 +597,17 @@ object Corpus {
       graft.parse.LawRef.normalizeLawName(lawNameOf(j)) -> sfsIdOf(j)
     }.toMap
 
+  /** KORTLAGRUM abbreviation of corpus law j ("MBL" style, unique) —
+    * the role of the reference's dcterms:alternate labels
+    * (legalref.py:268-281). */
+  def lawAbbrevOf(j: Long): String =
+    s"${('A' + (j / 26) % 26).toChar}${('A' + j % 26).toChar}L"
+
+  /** Abbreviation dictionary over the first m corpus laws. */
+  def lawAbbrevs(m: Long): Map[String, String] =
+    (0L until math.min(m, MaxLaws)).map(j => lawAbbrevOf(j) -> sfsIdOf(j))
+      .toMap
+
   private val svWords = Vector("verksamheten", "ansvar", "villkor",
     "beslut", "prövning", "ansökan", "avgift", "tillsyn", "beräkning",
     "underlag", "uppgifter", "myndigheten", "ersättning")
@@ -730,9 +741,22 @@ object Corpus {
       ref(i2, s"${EntityDict.base}/dom/nja/${jy}s$jp")
     }
 
-    // HD domslut with an ordered paragraph, then the endmeta line
+    // HD domslut with an ordered paragraph
     b.append("HD:s avgörande\n\n")
     b.append("1. HD fastställer TR:ns domslut.\n\n")
+
+    // occasional dissent (skiljaktig) and addendum (tillägg) appendices
+    if (r.nextBool(0.3)) {
+      b.append(s"Justitierådet ${r.pick(dvSurnames)} var skiljaktig och " +
+        "ansåg att överklagandet skulle bifallas.\n\n")
+      b.append("Enligt hans mening saknades grund för ansvar.\n\n")
+    }
+    if (r.nextBool(0.2)) {
+      b.append(s"Justitierådet ${r.pick(dvSurnames)} tillade för egen del " +
+        "vissa synpunkter på frågan.\n\n")
+    }
+
+    // endmeta line closes the referat
     b.append(s"HD:s beslut meddelat: den $d2 $mon2 $year.\n\n")
 
     val commit = f"d${(seed ^ (i * 31)) & 0xffffffffL}%08x"
@@ -822,6 +846,15 @@ object Corpus {
       val j4 = other()
       block(s"${svSentence(r)} Lag (${sfsIdOf(j4)}).",
         fixed(s"$uri#L${sfsIdOf(j4)}"))
+    }
+
+    // KORTLAGRUM abbreviation citation ("3 § MBL" style): explicit law
+    // via the abbreviation dictionary, so no chapter-context fill
+    if (m > 1 && r.nextBool(0.4)) {
+      val j5 = other()
+      val k5 = 1 + r.nextInt(25)
+      block(s"Tillsynsregler finns i $k5 § ${lawAbbrevOf(j5)}.",
+        fixed(s"$base${sfsIdOf(j5)}#P$k5"))
     }
 
     // preparatory-works citation (the FORARBETEN family): prop with a

@@ -60,7 +60,8 @@ object DvDoc {
 
     val uriBase = s"${EntityDict.base}/"
     val lawParser = new LawRef.Parser(LawRef.Conf(
-      base = s"${EntityDict.base}/sfs/", baseLaw = None, namedLaws = dict))
+      base = s"${EntityDict.base}/sfs/", baseLaw = None, namedLaws = dict,
+      abbrevs = LawDoc.corpusAbbrevs))
     val forarbParser = new ForarbRef.Parser(ForarbRef.Conf(uriBase))
     val domParser = new RattsfallRef.Parser(RattsfallRef.Conf(uriBase))
 

@@ -39,6 +39,11 @@ object LawDoc {
   lazy val corpusDictionary: Map[String, String] =
     graft.kg.Corpus.lawDictionary(graft.kg.Corpus.MaxLaws)
 
+  /** KORTLAGRUM abbreviation dictionary (the reference's
+    * dcterms:alternate graph, legalref.py:268-281). */
+  lazy val corpusAbbrevs: Map[String, String] =
+    graft.kg.Corpus.lawAbbrevs(graft.kg.Corpus.MaxLaws)
+
   def sfsIdFromPath(path: String): String =
     path.replaceAll("^.*/", "").replaceAll("\\.law$", "").replace("_", ":")
 
@@ -64,7 +69,7 @@ object LawDoc {
     // ---- per-document stateful citation parsers (document order)
     val uriBase = s"${EntityDict.base}/"
     val lawParser = new LawRef.Parser(LawRef.Conf(base = base,
-      baseLaw = Some(ownId), namedLaws = dict))
+      baseLaw = Some(ownId), namedLaws = dict, abbrevs = corpusAbbrevs))
     val forarbParser = new ForarbRef.Parser(ForarbRef.Conf(uriBase))
     val domParser = new RattsfallRef.Parser(RattsfallRef.Conf(uriBase))
     val euParser = new EuActRef.Parser(EuActRef.Conf(uriBase))

@@ -64,6 +64,15 @@ class DvDocSpec extends AnyFunSuite {
     }
   }
 
+  test("dissents and addenda parse as Skiljaktig/Tillagg appendices") {
+    def tags(n: graft.parse.TreeNode): Seq[String] =
+      n.tag +: n.children.flatMap(tags)
+    val allTags = docs.flatMap(d =>
+      tags(graft.parse.TreeNode.fromXml(DvDoc.parse(d.src).bodyXml)))
+    assert(allTags.contains("Skiljaktig"), "no dissent in the corpus")
+    assert(allTags.contains("Tillagg"), "no addendum in the corpus")
+  }
+
   test("in-corpus referat cross-citations resolve to minted referat URIs") {
     val minted = docs.map(d => DvDoc.parse(d.src).uri).toSet
     val crossCites = docs.flatMap(d => DvDoc.parse(d.src).mentions)

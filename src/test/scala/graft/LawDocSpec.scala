@@ -115,6 +115,10 @@ class LawDocSpec extends AnyFunSuite {
       assert(m.exists(_.candidateKey.contains(s"/avg/$series/")),
         s"missing $series agency-decision mentions")
     }
+    // KORTLAGRUM abbreviations resolve through the abbreviation
+    // dictionary ("3 § MBL" style, legalref.py:268-281)
+    assert(m.exists(_.matchText.matches("\\d+ § [A-Z]{2}L")),
+      "no abbreviation (KORTLAGRUM) mentions in the corpus")
   }
 
   test("doc triples carry type/title/identifier in the sv-law shape") {
