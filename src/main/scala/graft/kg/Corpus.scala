@@ -672,92 +672,126 @@ object Corpus {
     val b = new StringBuilder
     b.append(title).append("\n\n") // id line is NOT scanned
 
-    // TR instans: åklagar-sentence with a dictionary-resolved statute
-    // citation (the allm-åkl wording pattern)
-    val stad = r.pick(dvCities)
-    val trCourt = s"$stad TR"
-    val who = r.pick(dvInitials)
-    val lawJ = r.nextInt(math.max(1, mLaws.toInt))
-    val k1 = 1 + r.nextInt(20)
-    val i1 = s"$uri#I1"
-    b.append(s"Allmän åklagare yrkade vid $trCourt ansvar å $who för " +
-      s"brott mot $k1 § ${lawNameOf(lawJ)}.\n\n")
-    ref(i1, s"${EntityDict.base}/sfs/${sfsIdOf(lawJ)}#P$k1")
+    var instansNo = 0
+    def nextInstans(): String = { instansNo += 1; s"$uri#I$instansNo" }
+    var endmetaDate = ""
 
-    // TR dom line (tr-dom pattern; also opens Domskal via domskal-ref)
-    val d1 = 1 + r.nextInt(28)
-    val mon1 = r.pick(svMonths)
-    val y1 = year - 1
-    b.append(s"TR:n (ordf lagmannen ${r.pick(dvSurnames)}) anförde i dom " +
-      s"den $d1 $mon1 $y1:\n\n")
-    val iso1 = f"$y1%04d-${svMonths.indexOf(mon1) + 1}%02d-$d1%02d"
-    part(i1, uri, Some(trCourt), Some(iso1))
+    /** The full TR → HD flow under `parent` (the referat itself, or a
+      * Delmal case part). */
+    def mainFlow(parent: String): Unit = {
+      // TR instans: åklagar-sentence with a dictionary-resolved statute
+      // citation (the allm-åkl wording pattern)
+      val stad = r.pick(dvCities)
+      val trCourt = s"$stad TR"
+      val who = r.pick(dvInitials)
+      val lawJ = r.nextInt(math.max(1, mLaws.toInt))
+      val k1 = 1 + r.nextInt(20)
+      val i1 = nextInstans()
+      b.append(s"Allmän åklagare yrkade vid $trCourt ansvar å $who för " +
+        s"brott mot $k1 § ${lawNameOf(lawJ)}.\n\n")
+      ref(i1, s"${EntityDict.base}/sfs/${sfsIdOf(lawJ)}#P$k1")
 
-    // TR domskäl with case + preparatory-works citations
-    val cy = 1985 + r.nextInt(30)
-    val cn = 1 + r.nextInt(200)
-    val py = 1990 + r.nextInt(25)
-    val rm = f"${(py + 1) % 100}%02d"
-    val pn = 1 + r.nextInt(150)
-    val pg = 10 + r.nextInt(200)
-    b.append(s"Domskäl. Åtalet får stöd av NJA $cy s. $cn och av " +
-      s"prop. $py/$rm:$pn s. $pg.\n\n")
-    ref(i1, s"${EntityDict.base}/dom/nja/${cy}s$cn")
-    ref(i1, s"${EntityDict.base}/prop/$py/$rm:$pn#sid$pg")
+      // TR dom line (tr-dom pattern; also opens Domskal via domskal-ref)
+      val d1 = 1 + r.nextInt(28)
+      val mon1 = r.pick(svMonths)
+      val y1 = year - 1
+      b.append(s"TR:n (ordf lagmannen ${r.pick(dvSurnames)}) anförde i dom " +
+        s"den $d1 $mon1 $y1:\n\n")
+      val iso1 = f"$y1%04d-${svMonths.indexOf(mon1) + 1}%02d-$d1%02d"
+      part(i1, parent, Some(trCourt), Some(iso1))
 
-    // TR domslut with an anaphoric back-reference to the cited statute
-    val k2 = 1 + r.nextInt(20)
-    b.append("Domslut\n\n")
-    b.append(s"TR:n dömde $who till böter enligt $k2 § samma lag.\n\n")
-    ref(i1, s"${EntityDict.base}/sfs/${sfsIdOf(lawJ)}#P$k2")
+      // TR domskäl with case + preparatory-works citations
+      val cy = 1985 + r.nextInt(30)
+      val cn = 1 + r.nextInt(200)
+      val py = 1990 + r.nextInt(25)
+      val rm = f"${(py + 1) % 100}%02d"
+      val pn = 1 + r.nextInt(150)
+      val pg = 10 + r.nextInt(200)
+      b.append(s"Domskäl. Åtalet får stöd av NJA $cy s. $cn och av " +
+        s"prop. $py/$rm:$pn s. $pg.\n\n")
+      ref(i1, s"${EntityDict.base}/dom/nja/${cy}s$cn")
+      ref(i1, s"${EntityDict.base}/prop/$py/$rm:$pn#sid$pg")
 
-    // HD instans (hd-revision pattern)
-    val i2 = s"$uri#I2"
-    b.append(s"$who (ombud advokaten ${r.pick(dvSurnames).head}.R.) sökte " +
-      s"revision och yrkade att HD måtte fastställa TR:ns dom.\n\n")
+      // TR domslut with an anaphoric back-reference to the cited statute
+      val k2 = 1 + r.nextInt(20)
+      b.append("Domslut\n\n")
+      b.append(s"TR:n dömde $who till böter enligt $k2 § samma lag.\n\n")
+      ref(i1, s"${EntityDict.base}/sfs/${sfsIdOf(lawJ)}#P$k2")
 
-    // optional betänkande, then the HD dom line
-    val withBetankande = r.nextBool(0.4)
-    val d2 = 1 + r.nextInt(28)
-    val mon2 = r.pick(svMonths)
-    val iso2 = f"$year%04d-${svMonths.indexOf(mon2) + 1}%02d-$d2%02d"
-    if (withBetankande) {
-      b.append("Målet avgjordes efter föredragning.\n\n")
-      b.append(s"HD (JustR:n ${r.pick(dvSurnames)}, ${r.pick(dvSurnames)}, " +
-        "referent) fattade slutligt beslut i enlighet med betänkandet.\n\n")
-      part(i2, uri, Some("HD"), None) // hd-fastst carries no date
-    } else {
-      b.append(s"HD (JustR:n ${r.pick(dvSurnames)} och ${r.pick(dvSurnames)}, " +
-        s"referent) meddelade den $d2 $mon2 $year följande dom:\n\n")
-      part(i2, uri, Some("HD"), Some(iso2))
+      hdFlow(parent, who)
     }
 
-    // HD domskäl citing ANOTHER referat of this corpus (in-corpus link)
-    if (m > 1) {
-      val j = (i + 1 + r.nextInt((m - 1).toInt)) % m
-      val (jy, jp) = njaIdOf(j)
-      b.append(s"Domskäl. HD finner i likhet med NJA $jy s. $jp att " +
-        "åtalet ska bifallas.\n\n")
-      ref(i2, s"${EntityDict.base}/dom/nja/${jy}s$jp")
+    /** The HD instance (revision → optional betänkande → dom → domskäl →
+      * avgörande) under `parent` — also used alone inside Delmal parts. */
+    def hdFlow(parent: String, who: String): Unit = {
+      val i2 = nextInstans()
+      b.append(s"$who (ombud advokaten ${r.pick(dvSurnames).head}.R.) sökte " +
+        s"revision och yrkade att HD måtte fastställa TR:ns dom.\n\n")
+
+      // optional betänkande, then the HD dom line
+      val withBetankande = r.nextBool(0.4)
+      val d2 = 1 + r.nextInt(28)
+      val mon2 = r.pick(svMonths)
+      val iso2 = f"$year%04d-${svMonths.indexOf(mon2) + 1}%02d-$d2%02d"
+      endmetaDate = s"$d2 $mon2 $year"
+      if (withBetankande) {
+        b.append("Målet avgjordes efter föredragning.\n\n")
+        b.append(s"HD (JustR:n ${r.pick(dvSurnames)}, ${r.pick(dvSurnames)}, " +
+          "referent) fattade slutligt beslut i enlighet med betänkandet.\n\n")
+        part(i2, parent, Some("HD"), None) // hd-fastst carries no date
+      } else {
+        b.append(s"HD (JustR:n ${r.pick(dvSurnames)} och ${r.pick(dvSurnames)}, " +
+          s"referent) meddelade den $d2 $mon2 $year följande dom:\n\n")
+        part(i2, parent, Some("HD"), Some(iso2))
+      }
+
+      // HD domskäl citing ANOTHER referat of this corpus (in-corpus link)
+      if (m > 1) {
+        val j = (i + 1 + r.nextInt((m - 1).toInt)) % m
+        val (jy, jp) = njaIdOf(j)
+        b.append(s"Domskäl. HD finner i likhet med NJA $jy s. $jp att " +
+          "åtalet ska bifallas.\n\n")
+        ref(i2, s"${EntityDict.base}/dom/nja/${jy}s$jp")
+      }
+
+      // HD domslut with an ordered paragraph
+      b.append("HD:s avgörande\n\n")
+      b.append("1. HD fastställer TR:ns domslut.\n\n")
+
+      // occasional dissent (skiljaktig) and addendum (tillägg) appendices
+      if (r.nextBool(0.3)) {
+        b.append(s"Justitierådet ${r.pick(dvSurnames)} var skiljaktig och " +
+          "ansåg att överklagandet skulle bifallas.\n\n")
+        b.append("Enligt hans mening saknades grund för ansvar.\n\n")
+      }
+      if (r.nextBool(0.2)) {
+        b.append(s"Justitierådet ${r.pick(dvSurnames)} tillade för egen del " +
+          "vissa synpunkter på frågan.\n\n")
+      }
     }
 
-    // HD domslut with an ordered paragraph
-    b.append("HD:s avgörande\n\n")
-    b.append("1. HD fastställer TR:ns domslut.\n\n")
-
-    // occasional dissent (skiljaktig) and addendum (tillägg) appendices
-    if (r.nextBool(0.3)) {
-      b.append(s"Justitierådet ${r.pick(dvSurnames)} var skiljaktig och " +
-        "ansåg att överklagandet skulle bifallas.\n\n")
-      b.append("Enligt hans mening saknades grund för ansvar.\n\n")
-    }
+    // every ~5th referat reports multiple case parts (Delmal I/II —
+    // dv.py:2112-2118), each with its own instance chain
     if (r.nextBool(0.2)) {
-      b.append(s"Justitierådet ${r.pick(dvSurnames)} tillade för egen del " +
-        "vissa synpunkter på frågan.\n\n")
+      val dI = s"$uri#DI"
+      val dII = s"$uri#DII"
+      def delmalPart(dUri: String): Unit = {
+        truth += Triple.uri(dUri, Vocab.RDF_TYPE,
+          Vocab.bibo("DocumentPart"), graph)
+        truth += Triple.uri(dUri, Vocab.dcterms("isPartOf"), uri, graph)
+      }
+      b.append("I\n\n")
+      delmalPart(dI)
+      mainFlow(dI)
+      b.append(s"II (B${200 + i}-${year % 100})\n\n")
+      delmalPart(dII)
+      hdFlow(dII, r.pick(dvInitials))
+    } else {
+      mainFlow(uri)
     }
 
     // endmeta line closes the referat
-    b.append(s"HD:s beslut meddelat: den $d2 $mon2 $year.\n\n")
+    b.append(s"HD:s beslut meddelat: den $endmetaDate.\n\n")
 
     val commit = f"d${(seed ^ (i * 31)) & 0xffffffffL}%08x"
     GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())

@@ -353,9 +353,22 @@ object KgQueries {
     * term match over titles with a tf-ish score, paginated. No search
     * engine — the faceted table IS the index (SURVEY §1.1). Global ranking
     * via two-phase Ranking.globalRank (no single-task window). */
+  /** Glob → regex, the reference's elasticsearch wildcard-filter
+    * translation (fulltextindex.py:846-852: '.' and '#' escaped,
+    * '*' → '.*'). */
+  def globToRegex(glob: String): String =
+    glob.replace(".", "\\.").replace("#", "\\#").replace("*", ".*")
+
   def search(spark: SparkSession, dir: String,
-             term: String = "protocol", pageLen: Int = 10): DataFrame = {
-    val fac = facetPivot(spark, dir)
+             term: String = "protocol", pageLen: Int = 10,
+             uriGlob: Option[String] = None): DataFrame = {
+    val fac0 = facetPivot(spark, dir)
+    // a filter value containing '*' is a wildcard over the field — here
+    // the resource URI, the reference's `.iri` field (fulltextindex.py:
+    // 846-852); applied BEFORE ranking so ranks stay dense
+    val fac = uriGlob.map(g =>
+      fac0.filter(col("uri").rlike("^" + globToRegex(g) + "$")))
+      .getOrElse(fac0)
     val norm = lower(col("title"))
     val scored = fac.filter(norm.contains(term))
       .withColumn("score",
@@ -554,6 +567,8 @@ object KgQueries {
     "kg_nt_export" -> ntExport,
     "kg_nt_roundtrip" -> ntRoundtrip,
     "kg_search" -> ((s, d) => search(s, d)),
+    "kg_search_wildcard" -> ((s, d) =>
+      search(s, d, uriGlob = Some("*/rfc/1*"))),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -887,6 +902,20 @@ object KgQueries {
              (length(lower(title)) -
               length(replace(lower(title), 'protocol', ''))) / 8 AS score
            FROM piv WHERE contains(lower(title), 'protocol')),
+         ranked AS (SELECT *, row_number() OVER
+             (ORDER BY score DESC, uri ASC) AS rk FROM scored)
+         SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, uri, title,
+           cast(score AS double) AS score
+         FROM ranked""",
+    // the wildcard filter shares the SAME glob→regex translation the
+    // engine uses (globToRegex), applied before ranking
+    "kg_search_wildcard" ->
+      s"""WITH $pivotCte,
+         scored AS (SELECT uri, title,
+             (length(lower(title)) -
+              length(replace(lower(title), 'protocol', ''))) / 8 AS score
+           FROM piv WHERE contains(lower(title), 'protocol')
+             AND regexp_matches(uri, '^${globToRegex("*/rfc/1*")}$$')),
          ranked AS (SELECT *, row_number() OVER
              (ORDER BY score DESC, uri ASC) AS rk FROM scored)
          SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, uri, title,

@@ -64,6 +64,20 @@ class DvDocSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-part referats carry Delmal sub-resources with instance chains") {
+    val withDelmal = docs.map(d => DvDoc.parse(d.src))
+      .filter(_.triples.exists(_.subj.endsWith("#DII")))
+    assert(withDelmal.nonEmpty, "no Delmal referats in the corpus")
+    withDelmal.foreach { p =>
+      // the second part's instance chains to the part, the part to the doc
+      val isPartOf = p.triples.filter(_.pred == Vocab.dcterms("isPartOf"))
+        .map(t => t.subj -> t.obj).toMap
+      val dII = p.triples.find(_.subj.endsWith("#DII")).get.subj
+      assert(isPartOf(dII) == p.uri)
+      assert(isPartOf.exists { case (c, par) => par == dII && c.contains("#I") })
+    }
+  }
+
   test("dissents and addenda parse as Skiljaktig/Tillagg appendices") {
     def tags(n: graft.parse.TreeNode): Seq[String] =
       n.tag +: n.children.flatMap(tags)
