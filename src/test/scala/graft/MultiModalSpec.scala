@@ -45,9 +45,14 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(meta.getAs[String]("codec") == "audio/wav")
           assert(meta.getAs[Int]("duration_ms") > 0)
         case _ =>
-          assert(payload.length == 32) // sha256 pseudo-bytes
-          assert(meta.getAs[String]("codec") == "stub/v1")
-          assert(meta.getAs[Int]("width") >= 64)
+          // REAL Y4M bytes: magic header, dims match the container
+          assert(new String(payload.take(9), "US-ASCII") == "YUV4MPEG2")
+          assert(meta.getAs[String]("codec") == "video/y4m")
+          val vid = graft.mm.Y4m.decode(payload)
+          assert(vid.width == meta.getAs[Int]("width"))
+          assert(vid.height == meta.getAs[Int]("height"))
+          assert(vid.durationMs == meta.getAs[Int]("duration_ms"))
+          assert(vid.frames.nonEmpty)
       }
     }
     assert(a.map(_.getAs[String]("modality")).distinct.length == 3)
@@ -83,6 +88,32 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaPng.sum == 12 * 9)
   }
 
+  test("Y4M encode/decode round-trip: header, planes, histogram") {
+    val seed = Array.tabulate(32)(i => (i * 23 + 7).toByte)
+    val bytes = graft.mm.Y4m.encode(seed, 16, 10, 4, fpsNum = 25)
+    val vid = graft.mm.Y4m.decode(bytes)
+    assert((vid.width, vid.height, vid.fpsNum, vid.fpsDen) == (16, 10, 25, 1))
+    assert(vid.chroma == "420jpeg" && vid.frames.length == 4)
+    // every decoded plane equals the deterministic generator output
+    vid.frames.zipWithIndex.foreach { case (f, i) =>
+      val g = graft.mm.Y4m.framePlanes(seed, i, 16, 10)
+      assert(f.y.toSeq == g.y.toSeq && f.u.toSeq == g.u.toSeq &&
+        f.v.toSeq == g.v.toSeq)
+      assert(f.y.length == 160 && f.u.length == 40 && f.v.length == 40)
+    }
+    // luma histogram equals the codec-free direct computation
+    val direct = new Array[Int](16)
+    (0 until 4).foreach(i => graft.mm.Y4m.framePlanes(seed, i, 16, 10)
+      .y.foreach(b => direct((b & 0xff) >> 4) += 1))
+    assert(MultiModal.decodeVideo(bytes).toSeq == direct.toSeq)
+    assert(direct.sum == 16 * 10 * 4)
+    // malformed streams are rejected, not misparsed
+    intercept[IllegalArgumentException](graft.mm.Y4m.decode(
+      "JUNK W16 H10\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](graft.mm.Y4m.decode(
+      bytes.dropRight(10))) // truncated final frame
+  }
+
   test("feature extraction: histogram sums to pixel/byte count, deterministic") {
     val f = MultiModal.extractFeatures(MultiModal.assets(spark, dir))
       .orderBy("asset_id").collect()
@@ -100,7 +131,11 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
         case "audio" =>
           // one entry per decoded 16-bit sample (500 + len % 2000)
           assert(hist.sum >= 500 && hist.sum < 2500)
-        case _ => assert(hist.sum == 32) // sha256 payload = 32 bytes
+        case _ =>
+          // one entry per decoded luma pixel: w*h per frame, 3-8 frames
+          val (w, h) = metaByid(r.getLong(0))
+          assert(hist.sum % (w * h) == 0)
+          assert(hist.sum / (w * h) >= 3 && hist.sum / (w * h) <= 8)
       }
       val e = r.getDouble(3)
       assert(e >= 0.0 && e <= 4.0) // 16 buckets -> max 4 bits
@@ -110,14 +145,36 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.toSeq == f2.toSeq)
   }
 
-  test("frame sampling: every 2nd 8-byte block of video assets") {
-    val vids = MultiModal.assets(spark, dir)
-      .filter(col("modality") === "video").count()
+  test("frame sampling: every 2nd decoded Y4M frame of video assets") {
+    val perVid = MultiModal.assets(spark, dir)
+      .filter(col("modality") === "video")
+      .select(col("asset_id"), col("meta.duration_ms")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1) * MultiModal.VideoFps / 1000)) // nFrames back out
     val frames = MultiModal.sampleFrames(MultiModal.assets(spark, dir))
-    // 32-byte payload -> 4 blocks -> 2 sampled frames per video
-    assert(frames.count() == vids * 2)
-    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
-    assert(frames.filter(length(col("frame_digest")) =!= 16).count() == 0)
+      .groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perVid.foreach { case (id, nf) =>
+      assert(frames(id) == (nf + 1) / 2, s"asset $id: $nf frames") // ceil(nf/2)
+    }
+    val all = MultiModal.sampleFrames(MultiModal.assets(spark, dir))
+    assert(all.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    assert(all.filter(length(col("frame_digest")) =!= 16).count() == 0)
+  }
+
+  test("image resize: decode-rescale-reencode round trip holds dims") {
+    val resized = MultiModal.resizeImages(MultiModal.assets(spark, dir), 8, 8)
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    rows.take(20).foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+    // resizing is deterministic (oracle base dump depends on it)
+    val e1 = MultiModal.resizeStats(spark, dir).collect().toSeq
+    val e2 = MultiModal.resizeStats(spark, dir).collect().toSeq
+    assert(e1 == e2)
   }
 
   test("mm queries run and are non-empty") {
