@@ -380,6 +380,55 @@ object KgQueries {
       .orderBy("rk")
   }
 
+  /** Multi-term free-text query — the reference's simple_query_string
+    * with `default_operator: "and"` (fulltextindex.py:880-882): EVERY
+    * term must match, score sums the per-term tf. `excludeType` is
+    * exclude_repos (wsgiapp.py:401, fulltextindex.py:938-944) — a
+    * must_not clause on the type dimension, applied before ranking. */
+  def searchMulti(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("protocol", "for"),
+                  pageLen: Int = 10,
+                  excludeType: Option[String] = None): DataFrame = {
+    val fac0 = facetPivot(spark, dir)
+    val fac = excludeType.map(t => fac0.filter(col("rdf_type") =!= t))
+      .getOrElse(fac0)
+    val norm = lower(col("title"))
+    val scored = fac.filter(terms.map(norm.contains).reduce(_ && _))
+      .withColumn("score", terms.map(tm =>
+        (length(norm) - length(regexp_replace(norm, tm, ""))) / tm.length)
+        .reduce(_ + _))
+    graft.rel.Ranking.globalRank(scored,
+        Seq(col("score").desc, col("uri").asc), "rk")
+      .withColumn("page", ceil(col("rk") / pageLen.toDouble).cast("int"))
+      .select("rk", "page", "uri", "title", "score")
+      .orderBy("rk")
+  }
+
+  /** Search-result statistics — the reference attaches per-dimension
+    * bucket counts to every search response (wsgiapp.py:345-386 `stats`:
+    * distinct (uri, observation) pairs per dimension; the ES layer's
+    * `_aggregation_payload`, fulltextindex.py:1013-1030: `type` terms
+    * agg + year date_histogram with min_doc_count=1). Dimensions here:
+    * the type terms, the issued-year histogram, the publisher terms —
+    * one row per OBSERVED (dimension, bucket). */
+  def searchStats(spark: SparkSession, dir: String,
+                  term: String = "protocol"): DataFrame = {
+    // the pivot reads the session-cached ctx triples — three small
+    // aggregations over it beat a persist/unpersist cycle here
+    val matched = facetPivot(spark, dir)
+      .filter(lower(col("title")).contains(term))
+    def dim(name: String, bucket: org.apache.spark.sql.Column) =
+      matched.filter(bucket.isNotNull)
+        .groupBy(bucket.as("bucket"))
+        .agg(countDistinct(col("uri")).as("doc_count"))
+        .withColumn("dimension", lit(name))
+    dim("type", col("rdf_type"))
+      .unionByName(dim("issued", substring(col("issued"), 1, 4)))
+      .unionByName(dim("publisher", col("publisher")))
+      .select("dimension", "bucket", "doc_count")
+      .orderBy("dimension", "bucket")
+  }
+
   /** Search range modifiers (fulltextindex.py:307-333). The open-ended
     * forms use the reference's elasticsearch translation — STRICT lt/gt
     * bounds (fulltextindex.py:856-866); Between keeps the inclusive
@@ -569,6 +618,9 @@ object KgQueries {
     "kg_search" -> ((s, d) => search(s, d)),
     "kg_search_wildcard" -> ((s, d) =>
       search(s, d, uriGlob = Some("*/rfc/1*"))),
+    "kg_search_multi" -> ((s, d) => searchMulti(s, d,
+      excludeType = Some(Vocab.RFC_NS + "BCP"))),
+    "kg_search_stats" -> ((s, d) => searchStats(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -921,6 +973,41 @@ object KgQueries {
          SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, uri, title,
            cast(score AS double) AS score
          FROM ranked""",
+    // AND-of-terms freetext with a must_not type exclusion
+    "kg_search_multi" ->
+      s"""WITH $pivotCte,
+         scored AS (SELECT uri, title,
+             (length(lower(title)) -
+              length(replace(lower(title), 'protocol', ''))) / 8
+             + (length(lower(title)) -
+                length(replace(lower(title), 'for', ''))) / 3 AS score
+           FROM piv
+           WHERE contains(lower(title), 'protocol')
+             AND contains(lower(title), 'for')
+             AND rdf_type <> '${Vocab.RFC_NS}BCP'),
+         ranked AS (SELECT *, row_number() OVER
+             (ORDER BY score DESC, uri ASC) AS rk FROM scored)
+         SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, uri, title,
+           cast(score AS double) AS score
+         FROM ranked""",
+    // per-dimension bucket counts over the single-term match set
+    "kg_search_stats" ->
+      s"""WITH $pivotCte,
+         matched AS (SELECT * FROM piv
+                     WHERE contains(lower(title), 'protocol'))
+         SELECT dimension, bucket, doc_count FROM (
+           SELECT 'type' AS dimension, rdf_type AS bucket,
+             count(DISTINCT uri) AS doc_count FROM matched
+             WHERE rdf_type IS NOT NULL GROUP BY 2
+           UNION ALL
+           SELECT 'issued', substr(issued, 1, 4),
+             count(DISTINCT uri) FROM matched
+             WHERE issued IS NOT NULL GROUP BY 2
+           UNION ALL
+           SELECT 'publisher', publisher,
+             count(DISTINCT uri) FROM matched
+             WHERE publisher IS NOT NULL GROUP BY 2)
+         ORDER BY dimension, bucket""",
     "kg_search_boosted" ->
       searchBoostedSql("i.year BETWEEN 1995 AND 2020"),
     // Less/More open-ended modifiers: STRICT bounds, the reference's ES
