@@ -109,6 +109,55 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 "Scaling Language
+    * Models", table A1 — the repetition filters the public curation
+    * pipelines reimplement): per-document duplicate-line and
+    * duplicate-paragraph fractions plus the top word-2-gram character
+    * fraction, with the paper's flag thresholds (0.30/0.30/0.20).
+    * Distributed shape: explode → (doc, unit) count → per-doc aggregate,
+    * so a pathological document with millions of repeated lines is a
+    * groupBy key, never a per-row quadratic scan; the only window is
+    * partitioned by doc_id (top-gram tie-break: count desc, gram asc). */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+
+    def dupFrac(unit: Column, name: String): DataFrame =
+      d.select(col("doc_id"),
+          explode(filter(unit, x => trim(x) =!= lit(""))).as("u"))
+        .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as(s"n_$name"),
+          round(sum(when(col("c") > 1, col("c")).otherwise(0)) /
+            sum(col("c")), 4).as(s"dup_${name}_frac"))
+
+    val lineAgg = dupFrac(split(col("text"), "\n"), "line")
+    val paraAgg = dupFrac(split(col("text"), "\n\n"), "para")
+
+    val toks = tokensCol
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val gramCounts = d.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("chars", col("c") * length(col("g")))
+    val gramAgg = gramCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("g").asc)))
+      .groupBy("doc_id")
+      .agg(max(when(col("rn") === 1, col("g"))).as("top_2gram"),
+        round(max(when(col("rn") === 1, col("chars"))) / sum(col("chars")), 4)
+          .as("top_2gram_frac"))
+
+    lineAgg.join(paraAgg, Seq("doc_id"))
+      .join(gramAgg, Seq("doc_id"))
+      .withColumn("flagged",
+        col("dup_line_frac") > 0.30 || col("dup_para_frac") > 0.30 ||
+          col("top_2gram_frac") > 0.20)
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- dedup
   /** Exact dedup summary: sha256 hash-groupBy (one shuffle on the hash). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -385,6 +434,7 @@ object TextOps {
     "text_bpe_tokens" -> bpeTokenStats,
     "text_quality" -> qualityScore,
     "text_lang_id" -> langId,
+    "text_repetition" -> repetitionSignals,
     "text_exact_dedup" -> exactDedup,
     "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
@@ -457,6 +507,42 @@ object TextOps {
               len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::DOUBLE
                 / len(toks) > 0.5) AS low_quality
            FROM q ORDER BY doc_id""",
+      // Gopher repetition filters re-derived: same blank-line filter,
+      // same tie-break (count desc, gram asc), same 0.30/0.30/0.20 flags
+      "text_repetition" ->
+        """WITH d AS (SELECT doc_id, text FROM documents),
+           lines AS (SELECT doc_id, unnest(list_filter(
+               string_split(text, chr(10)), x -> trim(x) <> '')) AS u FROM d),
+           lc AS (SELECT doc_id, u, count(*) AS c FROM lines GROUP BY 1, 2),
+           lagg AS (SELECT doc_id, cast(sum(c) AS bigint) AS n_line,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
+                 sum(c), 4) AS dup_line_frac FROM lc GROUP BY 1),
+           paras AS (SELECT doc_id, unnest(list_filter(
+               string_split(text, chr(10) || chr(10)),
+               x -> trim(x) <> '')) AS u FROM d),
+           pc AS (SELECT doc_id, u, count(*) AS c FROM paras GROUP BY 1, 2),
+           pagg AS (SELECT doc_id, cast(sum(c) AS bigint) AS n_para,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
+                 sum(c), 4) AS dup_para_frac FROM pc GROUP BY 1),
+           toks AS (SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS w FROM d),
+           grams AS (SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+             FROM toks WHERE len(w) >= 2),
+           gc AS (SELECT doc_id, g, count(*) AS c,
+               count(*) * length(g) AS chars FROM grams GROUP BY 1, 2),
+           gr AS (SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM gc),
+           gagg AS (SELECT doc_id,
+               max(CASE WHEN rn = 1 THEN g END) AS top_2gram,
+               round(max(CASE WHEN rn = 1 THEN chars END)::DOUBLE /
+                 sum(chars), 4) AS top_2gram_frac FROM gr GROUP BY 1)
+           SELECT doc_id, n_line, dup_line_frac, n_para, dup_para_frac,
+             top_2gram, top_2gram_frac,
+             (dup_line_frac > 0.30 OR dup_para_frac > 0.30 OR
+              top_2gram_frac > 0.20) AS flagged
+           FROM lagg JOIN pagg USING (doc_id) JOIN gagg USING (doc_id)
+           ORDER BY doc_id""",
       "text_lang_id" ->
         """WITH s AS (SELECT lang,
              len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|is)\b')) AS c_en,

@@ -72,6 +72,32 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.map(_.getLong(2)).sum == 500)
   }
 
+  test("repetition signals: planted repeats flag, clean prose does not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    val repeated = (("spam spam spam line\n\n" * 10) +
+      "one unique closing line\n").trim
+    val clean = "alpha beta gamma\n\ndelta epsilon zeta\n\neta theta iota"
+    Seq((1L, repeated, "en"), (2L, clean, "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val rows = TextOps.repetitionSignals(spark, tmp).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val rep = rows(1L)
+      assert(rep.getDouble(rep.fieldIndex("dup_line_frac")) > 0.8)
+      assert(rep.getString(rep.fieldIndex("top_2gram")) == "spam spam")
+      assert(rep.getDouble(rep.fieldIndex("top_2gram_frac")) > 0.20)
+      assert(rep.getBoolean(rep.fieldIndex("flagged")))
+      val cl = rows(2L)
+      assert(cl.getDouble(cl.fieldIndex("dup_line_frac")) == 0.0)
+      assert(cl.getDouble(cl.fieldIndex("dup_para_frac")) == 0.0)
+      assert(!cl.getBoolean(cl.fieldIndex("flagged")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("df cap drops one pathological hot key, keeps healthy postings") {
     import spark.implicits._
     // one shingle in 1000 docs would contribute ~500k candidate pairs;
