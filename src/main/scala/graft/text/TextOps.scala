@@ -209,6 +209,38 @@ object TextOps {
               element_at(col("w"), i + 3))))).as("shingle"))
   }
 
+  /** Test-set decontamination — the n-gram-collision check the published
+    * LLM training recipes run before training (GPT-3 appendix C / PaLM
+    * style): a held-out benchmark slice of the corpus (doc_id %
+    * `benchMod` == 0 stands in for the external eval set) is checked for
+    * shingle collisions against every training document via the same
+    * inverted shingle index the dedup path uses. The bench side is tiny
+    * by construction, so it BROADCASTS — no shuffle of the train-side
+    * postings, no all-pairs scan. Production deployments shingle at
+    * 8-13 grams; the word-3-gram default matches this synthetic corpus's
+    * n-gram density (the operator is n-agnostic — it consumes whatever
+    * [[shingles]] emits). */
+  def decontamination(spark: SparkSession, dir: String,
+                      benchMod: Int = 97, minShared: Int = 2,
+                      maxDf: Int = MaxDf): DataFrame = {
+    val sh0 = graft.CacheRegistry.track(shingles(spark, dir))
+    val sh = capDf(sh0, Seq("shingle"), maxDf)
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+    val train = sh.filter(col("doc_id") % benchMod =!= 0)
+    val trainSizes = sh0.filter(col("doc_id") % benchMod =!= 0)
+      .groupBy(col("doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("n_train_sh"))
+    train.as("t").join(broadcast(bench.as("b")),
+        col("t.shingle") === col("b.shingle"))
+      .groupBy(col("b.doc_id").as("bench_doc"), col("t.doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(trainSizes, "train_doc")
+      .select(col("bench_doc"), col("train_doc"), col("n_shared"),
+        round(col("n_shared") / col("n_train_sh"), 4).as("contaminated_frac"))
+      .orderBy("bench_doc", "train_doc")
+  }
+
   /** EXACT near-duplicate pairs at word-3-gram Jaccard >= `threshold`,
     * via inverted shingle index: explode → self-join on shingle →
     * pair-intersection counts → Jaccard from |A|,|B|,|A∩B|. Never
@@ -435,6 +467,7 @@ object TextOps {
     "text_quality" -> qualityScore,
     "text_lang_id" -> langId,
     "text_repetition" -> repetitionSignals,
+    "text_decontamination" -> ((s, d) => decontamination(s, d)),
     "text_exact_dedup" -> exactDedup,
     "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
@@ -543,6 +576,24 @@ object TextOps {
               top_2gram_frac > 0.20) AS flagged
            FROM lagg JOIN pagg USING (doc_id) JOIN gagg USING (doc_id)
            ORDER BY doc_id""",
+      // bench slice vs train docs: shared distinct-3-gram counts — the
+      // join-free list_intersect re-derivation of the broadcast join
+      "text_decontamination" ->
+        """WITH toks AS (SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS w FROM documents),
+           sh AS (SELECT doc_id, list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w)-1)]) AS s
+             FROM toks WHERE len(w) >= 3),
+           bench AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+           train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+           SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc,
+             cast(len(list_intersect(t.s, b.s)) AS bigint) AS n_shared,
+             round(len(list_intersect(t.s, b.s))::DOUBLE / len(t.s), 4)
+               AS contaminated_frac
+           FROM train t JOIN bench b
+             ON len(list_intersect(t.s, b.s)) >= 2
+           ORDER BY bench_doc, train_doc""",
       "text_lang_id" ->
         """WITH s AS (SELECT lang,
              len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|is)\b')) AS c_en,
