@@ -256,6 +256,36 @@ object KgQueries {
     * the ASCII sortkey (tocPages) mangles them. Spark 4 collation in the
     * sort key; ranking via the two-phase Ranking.globalRank (one pageset
     * is small, but the operator shape must not carry a global window). */
+  /** toc_select_for_pages (documentrepository.py:2936-2995): for every
+    * TOC page of every pageset, the ordered document list that appears
+    * on it — rows (binding, page_value, pos, uri, title). Two pagesets
+    * mirror the reference's default facet pair: dcterms_title →
+    * first-letter pages (same selector as [[tocPages]]), dcterms_issued
+    * → year pages; within a page documents sort by the facet key then
+    * uri. The only window is partitioned by (binding, page) — pages are
+    * small by construction, the distributed unit of TOC generation. */
+  def tocSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fac = facetPivot(spark, dir).filter(col("title").isNotNull)
+    val sortkey = regexp_replace(
+      regexp_replace(lower(trim(col("title"))), "^the ", ""), "[^a-z0-9 ]", "")
+    val byTitle = fac
+      .withColumn("binding", lit("dcterms_title"))
+      .withColumn("page_value",
+        substring(regexp_replace(sortkey, " ", ""), 1, 1))
+      .withColumn("key", sortkey)
+    val byIssued = fac.filter(col("issued").isNotNull)
+      .withColumn("binding", lit("dcterms_issued"))
+      .withColumn("page_value", substring(col("issued"), 1, 4))
+      .withColumn("key", col("issued"))
+    byTitle.unionByName(byIssued)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("binding", "page_value")
+          .orderBy(col("key").asc, col("uri").asc)))
+      .select("binding", "page_value", "pos", "uri", "title")
+      .orderBy("binding", "page_value", "pos")
+  }
+
   def tocCollated(spark: SparkSession, dir: String): DataFrame = {
     val docs = ctx(spark).docs.filter(col("lang") === "sv")
       .select(col("uri"), col("title"))
@@ -607,6 +637,7 @@ object KgQueries {
     "kg_skeleton" -> skeleton,
     "kg_canon_map" -> canonMap,
     "kg_toc_pages" -> tocPages,
+    "kg_toc_select" -> tocSelect,
     "kg_toc_collated" -> tocCollated,
     "kg_news_feeds" -> newsFeeds,
     "kg_lineage" -> lineage,
@@ -857,6 +888,26 @@ object KgQueries {
              '[^a-z0-9 ]', '', 'g'), ' ', ''), 1, 1) AS letter,
            count(*) AS n_docs, min(uri) AS first_uri
          FROM piv WHERE title IS NOT NULL GROUP BY 1""",
+    "kg_toc_select" ->
+      s"""WITH $pivotCte,
+         titled AS (SELECT uri, title, issued,
+             replace(regexp_replace(regexp_replace(lower(trim(title)),
+               '^the ', ''), '[^a-z0-9 ]', '', 'g'), ' ', '') AS nosp,
+             regexp_replace(regexp_replace(lower(trim(title)),
+               '^the ', ''), '[^a-z0-9 ]', '', 'g') AS sortkey
+           FROM piv WHERE title IS NOT NULL),
+         both_sets AS (
+           SELECT 'dcterms_title' AS binding, substr(nosp, 1, 1) AS page_value,
+             sortkey AS key, uri, title FROM titled
+           UNION ALL
+           SELECT 'dcterms_issued', substr(issued, 1, 4), issued, uri, title
+           FROM titled WHERE issued IS NOT NULL)
+         SELECT binding, page_value,
+           row_number() OVER (PARTITION BY binding, page_value
+                              ORDER BY key ASC, uri ASC) AS pos,
+           uri, title
+         FROM both_sets
+         ORDER BY binding, page_value, pos""",
     "kg_toc_collated" ->
       """SELECT row_number() OVER (ORDER BY title COLLATE sv, uri) AS rk,
          uri, title
