@@ -459,6 +459,30 @@ object KgQueries {
       .orderBy("dimension", "bucket")
   }
 
+  /** Fragment-level search — the reference indexes every document
+    * FRAGMENT as an ES child document and groups hits under the parent
+    * via has_child + inner_hits (fulltextindex.py:885-907). Term match
+    * over sub-resource titles rolled up per parent: hit count plus the
+    * first matching fragment, parents ranked by hits then uri (global
+    * rank via the two-phase Ranking.globalRank, as everywhere). */
+  def searchFragments(spark: SparkSession, dir: String,
+                      term: String = "protocol"): DataFrame = {
+    val tr = t(ctx(spark))
+    val frag = tr.filter(col("pred") === Vocab.dcterms("title") &&
+        col("subj").contains("#") && lower(col("obj")).contains(term))
+      .select(substring_index(col("subj"), "#", 1).as("uri"),
+        col("subj").as("fragment"))
+    val parents = facetPivot(spark, dir).select(col("uri"), col("title"))
+    val rolled = frag.groupBy("uri")
+      .agg(count(lit(1)).as("n_fragment_hits"),
+        min(col("fragment")).as("first_fragment"))
+      .join(parents, Seq("uri"))
+    graft.rel.Ranking.globalRank(rolled,
+        Seq(col("n_fragment_hits").desc, col("uri").asc), "rk")
+      .select("rk", "uri", "title", "n_fragment_hits", "first_fragment")
+      .orderBy("rk")
+  }
+
   /** Search range modifiers (fulltextindex.py:307-333). The open-ended
     * forms use the reference's elasticsearch translation — STRICT lt/gt
     * bounds (fulltextindex.py:856-866); Between keeps the inclusive
@@ -652,6 +676,7 @@ object KgQueries {
     "kg_search_multi" -> ((s, d) => searchMulti(s, d,
       excludeType = Some(Vocab.RFC_NS + "BCP"))),
     "kg_search_stats" -> ((s, d) => searchStats(s, d)),
+    "kg_search_fragments" -> ((s, d) => searchFragments(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -1059,6 +1084,21 @@ object KgQueries {
              count(DISTINCT uri) FROM matched
              WHERE publisher IS NOT NULL GROUP BY 2)
          ORDER BY dimension, bucket""",
+    // child-document hits rolled up under the parent (inner_hits shape)
+    "kg_search_fragments" ->
+      s"""WITH $pivotCte,
+         frag AS (SELECT split_part(subj, '#', 1) AS uri, subj AS fragment
+           FROM tr WHERE pred = '${dct("title")}'
+             AND contains(subj, '#')
+             AND contains(lower(obj), 'protocol')),
+         agg AS (SELECT uri, count(*) AS n_fragment_hits,
+             min(fragment) AS first_fragment FROM frag GROUP BY 1),
+         j AS (SELECT a.uri, p.title, a.n_fragment_hits, a.first_fragment
+               FROM agg a JOIN piv p USING (uri))
+         SELECT row_number() OVER
+             (ORDER BY n_fragment_hits DESC, uri ASC) AS rk,
+           uri, title, n_fragment_hits, first_fragment
+         FROM j ORDER BY rk""",
     "kg_search_boosted" ->
       searchBoostedSql("i.year BETWEEN 1995 AND 2020"),
     // Less/More open-ended modifiers: STRICT bounds, the reference's ES
