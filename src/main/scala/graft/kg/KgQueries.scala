@@ -238,12 +238,18 @@ object KgQueries {
   /** TOC pageset (documentrepository.py:2855-2995): documents grouped by
     * first letter of the title sortkey, with per-page document counts and
     * a deterministic first member. */
+  /** The first-letter pageset selector's normalization (Facet
+    * titlesortkey semantics) — ONE definition shared by kg_toc_pages
+    * and kg_toc_select so their page assignment can never drift. */
+  private def tocSortKey: org.apache.spark.sql.Column = regexp_replace(
+    regexp_replace(lower(trim(col("title"))), "^the ", ""), "[^a-z0-9 ]", "")
+  private def tocFirstLetter: org.apache.spark.sql.Column =
+    substring(regexp_replace(tocSortKey, " ", ""), 1, 1)
+
   def tocPages(spark: SparkSession, dir: String): DataFrame = {
     val fac = facetPivot(spark, dir)
-    val sortkey = regexp_replace(
-      regexp_replace(lower(trim(col("title"))), "^the ", ""), "[^a-z0-9 ]", "")
     fac.filter(col("title").isNotNull)
-      .withColumn("letter", substring(regexp_replace(sortkey, " ", ""), 1, 1))
+      .withColumn("letter", tocFirstLetter)
       .groupBy("letter")
       .agg(count(lit(1)).as("n_docs"),
         min(col("uri")).as("first_uri"))
@@ -267,13 +273,10 @@ object KgQueries {
   def tocSelect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fac = facetPivot(spark, dir).filter(col("title").isNotNull)
-    val sortkey = regexp_replace(
-      regexp_replace(lower(trim(col("title"))), "^the ", ""), "[^a-z0-9 ]", "")
     val byTitle = fac
       .withColumn("binding", lit("dcterms_title"))
-      .withColumn("page_value",
-        substring(regexp_replace(sortkey, " ", ""), 1, 1))
-      .withColumn("key", sortkey)
+      .withColumn("page_value", tocFirstLetter)
+      .withColumn("key", tocSortKey)
     val byIssued = fac.filter(col("issued").isNotNull)
       .withColumn("binding", lit("dcterms_issued"))
       .withColumn("page_value", substring(col("issued"), 1, 4))
@@ -389,6 +392,15 @@ object KgQueries {
   def globToRegex(glob: String): String =
     glob.replace(".", "\\.").replace("#", "\\#").replace("*", ".*")
 
+  /** Occurrences of the LITERAL `term` in `c` — the term is quoted
+    * before it reaches the regex engine, so the match side (the literal
+    * Column.contains) and the score side agree for terms carrying regex
+    * metacharacters ("i.e.", "c++"); mirrors the oracle's literal
+    * replace(). */
+  private def termCount(c: org.apache.spark.sql.Column, term: String) =
+    (length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(term), ""))) / term.length
+
   def search(spark: SparkSession, dir: String,
              term: String = "protocol", pageLen: Int = 10,
              uriGlob: Option[String] = None): DataFrame = {
@@ -401,8 +413,7 @@ object KgQueries {
       .getOrElse(fac0)
     val norm = lower(col("title"))
     val scored = fac.filter(norm.contains(term))
-      .withColumn("score",
-        (length(norm) - length(regexp_replace(norm, term, ""))) / term.length)
+      .withColumn("score", termCount(norm, term))
     graft.rel.Ranking.globalRank(scored,
         Seq(col("score").desc, col("uri").asc), "rk")
       .withColumn("page", ceil(col("rk") / pageLen.toDouble).cast("int"))
@@ -424,9 +435,7 @@ object KgQueries {
       .getOrElse(fac0)
     val norm = lower(col("title"))
     val scored = fac.filter(terms.map(norm.contains).reduce(_ && _))
-      .withColumn("score", terms.map(tm =>
-        (length(norm) - length(regexp_replace(norm, tm, ""))) / tm.length)
-        .reduce(_ + _))
+      .withColumn("score", terms.map(termCount(norm, _)).reduce(_ + _))
     graft.rel.Ranking.globalRank(scored,
         Seq(col("score").desc, col("uri").asc), "rk")
       .withColumn("page", ceil(col("rk") / pageLen.toDouble).cast("int"))
@@ -507,7 +516,7 @@ object KgQueries {
                     range: RangeMod = Between(1995, 2020)): DataFrame = {
     val tr = t(ctx(spark))
     val lo = lower(col("obj"))
-    val cnt = (length(lo) - length(regexp_replace(lo, term, ""))) / term.length
+    val cnt = termCount(lo, term)
     // schema derivation validates the facet declarations (conflict check)
     Facets.makeSchema(Seq("rfc" -> Facets.searchFacets))
     val boosts = Facets.boostFor(Facets.searchFacets).filter(_._2 != 1.0)

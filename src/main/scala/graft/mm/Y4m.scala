@@ -88,13 +88,15 @@ object Y4m {
         case 'W' => w = t.substring(1).toInt
         case 'H' => h = t.substring(1).toInt
         case 'F' =>
-          val Array(a, b) = t.substring(1).split(':')
-          fn = a.toInt; fd = b.toInt
+          val parts = t.substring(1).split(':')
+          require(parts.length == 2, s"malformed frame-rate token: $t")
+          fn = parts(0).toInt; fd = parts(1).toInt
         case 'C' => chroma = t.substring(1)
         case _ => () // I (interlace), A (aspect), X (extension): skip
       }
     }
     require(w > 0 && h > 0, s"missing W/H in header: $header")
+    require(fn > 0 && fd > 0, s"non-positive frame rate in header: $header")
     val (ySize, cSize) = planeSizes(chroma, w, h)
     val frames = Vector.newBuilder[Frame]
     var pos = hEnd + 1

@@ -134,12 +134,16 @@ object TextOps {
     val lineAgg = dupFrac(split(col("text"), "\n"), "line")
     val paraAgg = dupFrac(split(col("text"), "\n\n"), "para")
 
-    val toks = tokensCol
+    // guard BEFORE the slice: size-1 on an empty token array would be a
+    // negative slice length, which Spark rejects at runtime (the oracle
+    // guards the same way with len(w) >= 2)
+    val withToks = d.select(col("doc_id"), tokensCol.as("w"))
+      .filter(size(col("w")) >= 2)
     val grams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1),
       (a, b) => concat_ws(" ", a, b))
-    val gramCounts = d.select(col("doc_id"), explode(grams).as("g"))
+    val gramCounts = withToks.select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .withColumn("chars", col("c") * length(col("g")))
     val gramAgg = gramCounts
@@ -223,11 +227,16 @@ object TextOps {
   def decontamination(spark: SparkSession, dir: String,
                       benchMod: Int = 97, minShared: Int = 2,
                       maxDf: Int = MaxDf): DataFrame = {
-    val sh0 = graft.CacheRegistry.track(shingles(spark, dir))
-    val sh = capDf(sh0, Seq("shingle"), maxDf)
+    // the cap applies to EVERYTHING — join sides and the fraction's
+    // denominator — so under pathological truncation contamination is
+    // measured consistently over the capped shingle space (same
+    // approximation trade capDf documents; the default is a no-op on
+    // healthy corpora, which is what the uncapped oracle checks)
+    val sh = capDf(graft.CacheRegistry.track(shingles(spark, dir)),
+      Seq("shingle"), maxDf)
     val bench = sh.filter(col("doc_id") % benchMod === 0)
     val train = sh.filter(col("doc_id") % benchMod =!= 0)
-    val trainSizes = sh0.filter(col("doc_id") % benchMod =!= 0)
+    val trainSizes = train
       .groupBy(col("doc_id").as("train_doc"))
       .agg(count(lit(1)).as("n_train_sh"))
     train.as("t").join(broadcast(bench.as("b")),

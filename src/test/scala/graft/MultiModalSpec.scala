@@ -112,6 +112,10 @@ class MultiModalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "JUNK W16 H10\n".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](graft.mm.Y4m.decode(
       bytes.dropRight(10))) // truncated final frame
+    intercept[IllegalArgumentException](graft.mm.Y4m.decode(
+      "YUV4MPEG2 W16 H10 F25\nFRAME\n".getBytes("US-ASCII"))) // F w/o colon
+    intercept[IllegalArgumentException](graft.mm.Y4m.decode(
+      "YUV4MPEG2 W16 H10 F0:1\nFRAME\n".getBytes("US-ASCII"))) // zero fps
   }
 
   test("feature extraction: histogram sums to pixel/byte count, deterministic") {

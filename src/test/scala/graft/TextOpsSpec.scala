@@ -78,12 +78,16 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val repeated = (("spam spam spam line\n\n" * 10) +
       "one unique closing line\n").trim
     val clean = "alpha beta gamma\n\ndelta epsilon zeta\n\neta theta iota"
-    Seq((1L, repeated, "en"), (2L, clean, "en"))
+    // the empty and one-token docs must not crash the 2-gram slice;
+    // they simply contribute no rows (same as the oracle's len(w) >= 2)
+    Seq((1L, repeated, "en"), (2L, clean, "en"), (3L, "", "en"),
+        (4L, "solo", "en"))
       .toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     try {
       val rows = TextOps.repetitionSignals(spark, tmp).collect()
         .map(r => r.getLong(0) -> r).toMap
+      assert(!rows.contains(3L) && !rows.contains(4L))
       val rep = rows(1L)
       assert(rep.getDouble(rep.fieldIndex("dup_line_frac")) > 0.8)
       assert(rep.getString(rep.fieldIndex("top_2gram")) == "spam spam")
