@@ -403,14 +403,20 @@ object KgQueries {
 
   def search(spark: SparkSession, dir: String,
              term: String = "protocol", pageLen: Int = 10,
-             uriGlob: Option[String] = None): DataFrame = {
+             uriGlob: Option[String] = None,
+             fieldFilters: Seq[(String, String)] = Nil): DataFrame = {
     val fac0 = facetPivot(spark, dir)
     // a filter value containing '*' is a wildcard over the field — here
     // the resource URI, the reference's `.iri` field (fulltextindex.py:
-    // 846-852); applied BEFORE ranking so ranks stay dense
-    val fac = uriGlob.map(g =>
+    // 846-852); plain values are exact term filters (the filterterms
+    // branch, fulltextindex.py:853-855). Both apply BEFORE ranking so
+    // ranks stay dense
+    val fac1 = uriGlob.map(g =>
       fac0.filter(col("uri").rlike("^" + globToRegex(g) + "$")))
       .getOrElse(fac0)
+    val fac = fieldFilters.foldLeft(fac1) { case (acc, (f, v)) =>
+      acc.filter(col(f) === v)
+    }
     val norm = lower(col("title"))
     val scored = fac.filter(norm.contains(term))
       .withColumn("score", termCount(norm, term))
@@ -466,6 +472,27 @@ object KgQueries {
       .unionByName(dim("publisher", col("publisher")))
       .select("dimension", "bucket", "doc_count")
       .orderBy("dimension", "bucket")
+  }
+
+  /** Autocomplete query (wsgiapp.py:411,430-434 `_ac=true`; the
+    * reference indexes page/fragment rows with role=autocomplete so
+    * typing "prop. 2018/19:42 s 12" completes): PREFIX match over
+    * dcterms:identifier of documents AND fragments, returned items-only
+    * in relevance order — deterministically: shortest identifier first
+    * (closest full match), then identifier, then uri. */
+  def acSearch(spark: SparkSession, dir: String,
+               prefix: String = "RFC 10", pageLen: Int = 10): DataFrame = {
+    val tr = t(ctx(spark))
+    val ids = tr.filter(col("pred") === Vocab.dcterms("identifier") &&
+        col("obj").startsWith(prefix))
+      .select(col("subj").as("uri"), col("obj").as("identifier"))
+      .distinct()
+    graft.rel.Ranking.globalRank(ids,
+        Seq(length(col("identifier")).asc, col("identifier").asc,
+          col("uri").asc), "rk")
+      .filter(col("rk") <= pageLen)
+      .select("rk", "uri", "identifier")
+      .orderBy("rk")
   }
 
   /** Fragment-level search — the reference indexes every document
@@ -686,6 +713,9 @@ object KgQueries {
       excludeType = Some(Vocab.RFC_NS + "BCP"))),
     "kg_search_stats" -> ((s, d) => searchStats(s, d)),
     "kg_search_fragments" -> ((s, d) => searchFragments(s, d)),
+    "kg_search_filtered" -> ((s, d) => search(s, d, fieldFilters =
+      Seq("publisher" -> (EntityDict.base + "/org/ietf")))),
+    "kg_search_ac" -> ((s, d) => acSearch(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -1093,6 +1123,30 @@ object KgQueries {
              count(DISTINCT uri) FROM matched
              WHERE publisher IS NOT NULL GROUP BY 2)
          ORDER BY dimension, bucket""",
+    // exact field-term filter (filterterms) before ranking
+    "kg_search_filtered" ->
+      s"""WITH $pivotCte,
+         scored AS (SELECT uri, title,
+             (length(lower(title)) -
+              length(replace(lower(title), 'protocol', ''))) / 8 AS score
+           FROM piv WHERE contains(lower(title), 'protocol')
+             AND publisher = 'https://example.org/org/ietf'),
+         ranked AS (SELECT *, row_number() OVER
+             (ORDER BY score DESC, uri ASC) AS rk FROM scored)
+         SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, uri, title,
+           cast(score AS double) AS score
+         FROM ranked""",
+    // autocomplete: identifier prefix over docs AND fragments, items only
+    "kg_search_ac" ->
+      s"""WITH tr AS (SELECT * FROM
+             read_parquet('__BASE__/kg_triples/*.parquet')),
+         ids AS (SELECT DISTINCT subj AS uri, obj AS identifier FROM tr
+                 WHERE pred = '${dct("identifier")}'
+                   AND obj LIKE 'RFC 10%'),
+         ranked AS (SELECT *, row_number() OVER
+             (ORDER BY length(identifier), identifier, uri) AS rk FROM ids)
+         SELECT rk, uri, identifier FROM ranked WHERE rk <= 10
+         ORDER BY rk""",
     // child-document hits rolled up under the parent (inner_hits shape)
     "kg_search_fragments" ->
       s"""WITH $pivotCte,
