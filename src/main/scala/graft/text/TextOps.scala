@@ -162,6 +162,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Stratified deterministic sampling — the data-mixing step that
+    * rebalances a corpus to per-source targets before training: take
+    * exactly `k` documents per language, chosen by a Knuth
+    * multiplicative hash of the doc id (so the subset is stable across
+    * runs and machines, and adding documents only perturbs selection
+    * near the cut — unlike doc_id order, which biases toward old data).
+    * The hash stays in exact BIGINT range (doc_id * 2654435761 <
+    * 2^63), so any engine reproduces it; production pipelines salt a
+    * 64-bit hash, same shape. The only window is partitioned by the
+    * stratum. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id", "h")
+      .orderBy("lang", "rk")
+  }
+
   // --------------------------------------------------------------- dedup
   /** Exact dedup summary: sha256 hash-groupBy (one shuffle on the hash). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -477,6 +500,7 @@ object TextOps {
     "text_lang_id" -> langId,
     "text_repetition" -> repetitionSignals,
     "text_decontamination" -> ((s, d) => decontamination(s, d)),
+    "text_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "text_exact_dedup" -> exactDedup,
     "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
@@ -585,6 +609,14 @@ object TextOps {
               top_2gram_frac > 0.20) AS flagged
            FROM lagg JOIN pagg USING (doc_id) JOIN gagg USING (doc_id)
            ORDER BY doc_id""",
+      // same multiplicative hash, exact integer arithmetic both engines
+      "text_stratified_sample" ->
+        """WITH h AS (SELECT lang, doc_id,
+             (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+           ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+           SELECT lang, rk, doc_id, h FROM ranked WHERE rk <= 50
+           ORDER BY lang, rk""",
       // bench slice vs train docs: shared distinct-3-gram counts — the
       // join-free list_intersect re-derivation of the broadcast join
       "text_decontamination" ->
