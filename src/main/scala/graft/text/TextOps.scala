@@ -185,6 +185,42 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** Token-budget sequence packing — the preprocessing step that packs
+    * documents into fixed-capacity training sequences (greedy next-fit:
+    * a document that would overflow the open bin starts a new one; an
+    * oversized document occupies a bin alone). Packing is inherently
+    * sequential, so the distributed shape is SHARD-LOCAL packing — the
+    * industry-standard compromise: group by (lang, doc_id % shards),
+    * pack each shard independently in document order inside
+    * flatMapGroups. `shards` bounds the sequential unit; scale it with
+    * the stratum so no single task holds a whole language. The
+    * registered query uses shards=1 so the DuckDB recursive-CTE oracle
+    * replays the identical fold; the sharded path is spec-tested for
+    * the capacity invariant. */
+  def packSequences(spark: SparkSession, dir: String,
+                    capacity: Int = 2048, shards: Int = 1): DataFrame = {
+    import spark.implicits._
+    val sized = docs(spark, dir)
+      .select(col("lang"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("doc_id"), size(tokensCol).as("n_tokens"))
+      .as[(String, Int, Long, Int)]
+    sized.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Int),
+                        it: Iterator[(String, Int, Long, Int)]) =>
+        val sorted = it.toSeq.sortBy(_._3)
+        var bin = 0
+        var fill = 0
+        sorted.map { case (_, _, id, n) =>
+          if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0 }
+          fill += n
+          (key._1, key._2, id, n, bin)
+        }
+      }
+      .toDF("lang", "shard", "doc_id", "n_tokens", "bin")
+      .orderBy("lang", "shard", "doc_id")
+  }
+
   // --------------------------------------------------------------- dedup
   /** Exact dedup summary: sha256 hash-groupBy (one shuffle on the hash). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -501,6 +537,7 @@ object TextOps {
     "text_repetition" -> repetitionSignals,
     "text_decontamination" -> ((s, d) => decontamination(s, d)),
     "text_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "text_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "text_exact_dedup" -> exactDedup,
     "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
@@ -609,6 +646,29 @@ object TextOps {
               top_2gram_frac > 0.20) AS flagged
            FROM lagg JOIN pagg USING (doc_id) JOIN gagg USING (doc_id)
            ORDER BY doc_id""",
+      // the greedy next-fit fold replayed as a recursive CTE stepping
+      // one document per language per iteration (shards=1 registration)
+      "text_pack_sequences" ->
+        """WITH RECURSIVE ordered AS (
+             SELECT lang, doc_id,
+               cast(len(regexp_extract_all(trim(text), '\S+')) AS int)
+                 AS n_tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             FROM documents),
+           pack AS (
+             SELECT lang, doc_id, n_tokens, rn,
+               0 AS bin, n_tokens AS fill
+             FROM ordered WHERE rn = 1
+             UNION ALL
+             SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+               CASE WHEN p.fill + o.n_tokens > 2048
+                    THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.fill + o.n_tokens > 2048
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END
+             FROM pack p JOIN ordered o
+               ON o.lang = p.lang AND o.rn = p.rn + 1)
+           SELECT lang, 0 AS shard, doc_id, n_tokens, cast(bin AS int) AS bin
+           FROM pack ORDER BY lang, doc_id""",
       // same multiplicative hash, exact integer arithmetic both engines
       "text_stratified_sample" ->
         """WITH h AS (SELECT lang, doc_id,

@@ -102,6 +102,31 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sequence packing: capacity invariant holds on the sharded path") {
+    val capacity = 2048
+    val packed = TextOps.packSequences(spark, dir, capacity, shards = 8)
+      .collect()
+    assert(packed.length == 500) // every doc assigned exactly once
+    // fill per (lang, shard, bin) respects capacity unless a single
+    // oversized doc occupies the bin alone
+    packed.groupBy(r => (r.getString(0), r.getInt(1), r.getInt(4)))
+      .foreach { case (key, rows) =>
+        val fill = rows.map(_.getInt(3)).sum
+        assert(fill <= capacity || rows.length == 1, s"$key fill=$fill")
+      }
+    // greedy invariant: consecutive bins within a shard could not merge
+    packed.groupBy(r => (r.getString(0), r.getInt(1))).foreach {
+      case (_, rows) =>
+        val byBin = rows.sortBy(_.getLong(2)).groupBy(_.getInt(4))
+          .toSeq.sortBy(_._1)
+        byBin.sliding(2).foreach {
+          case Seq((_, a), (_, b)) =>
+            assert(a.map(_.getInt(3)).sum + b.head.getInt(3) > capacity)
+          case _ => ()
+        }
+    }
+  }
+
   test("df cap drops one pathological hot key, keeps healthy postings") {
     import spark.implicits._
     // one shingle in 1000 docs would contribute ~500k candidate pairs;
