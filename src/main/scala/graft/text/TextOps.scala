@@ -162,6 +162,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-model quality score — the CCNet-style perplexity filter:
+    * train a model ON the corpus, score every document by
+    * cross-entropy, filter the tail. Here the model is an add-one-
+    * smoothed char-bigram LM (the production version swaps in a KenLM
+    * word n-gram; the distributed shape — aggregate counts → broadcast
+    * the model → join-and-sum — is identical). Scoring is FIXED-POINT:
+    * each model bigram gets an integer micro-nat cost (round(-ln p *
+    * 1e6)), so the per-document sum is exact integer arithmetic —
+    * order-independent under Spark's nondeterministic partition sums
+    * and bit-reproducible in the DuckDB oracle. The model is tiny
+    * (|alphabet|² entries) and broadcasts. */
+  def charLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = docs(spark, dir)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1)," +
+          " i -> substring(text, i, 2))")).as("bg"))
+    val counts = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val modelCounts = counts.groupBy("bg").agg(sum("c").as("cb"))
+    val ctxCounts = modelCounts
+      .groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum("cb").as("ca"))
+    // alphabet size for add-one smoothing: distinct successor chars —
+    // a scalar metadata probe, the model itself stays distributed
+    val v = modelCounts.select(countDistinct(substring(col("bg"), 2, 1)))
+      .first().getLong(0)
+    val model = modelCounts
+      .join(ctxCounts, substring(col("bg"), 1, 1) === col("a"))
+      .select(col("bg"),
+        round(-log((col("cb") + 1) / (col("ca") + v)) * 1e6)
+          .cast("long").as("lp_micro"))
+    counts.join(broadcast(model), "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lp_micro")).as("micro"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("micro") / col("n_bigrams") / 1e6, 4).as("avg_nats"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sampling — the data-mixing step that
     * rebalances a corpus to per-source targets before training: take
     * exactly `k` documents per language, chosen by a Knuth
@@ -538,6 +577,7 @@ object TextOps {
     "text_decontamination" -> ((s, d) => decontamination(s, d)),
     "text_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "text_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "text_char_lm" -> charLmScore,
     "text_exact_dedup" -> exactDedup,
     "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
@@ -669,6 +709,28 @@ object TextOps {
                ON o.lang = p.lang AND o.rn = p.rn + 1)
            SELECT lang, 0 AS shard, doc_id, n_tokens, cast(bin AS int) AS bin
            FROM pack ORDER BY lang, doc_id""",
+      // add-one char-bigram LM re-trained in SQL; integer micro-nat
+      // costs make the document sums exact in both engines
+      "text_char_lm" ->
+        """WITH bi AS (SELECT doc_id,
+             unnest([substr(text, i, 2) for i in range(1, length(text))])
+               AS bg
+           FROM documents WHERE length(text) >= 2),
+           counts AS (SELECT doc_id, bg, count(*) AS c
+                      FROM bi GROUP BY 1, 2),
+           mc AS (SELECT bg, sum(c) AS cb FROM counts GROUP BY 1),
+           ctx AS (SELECT substr(bg, 1, 1) AS a, sum(cb) AS ca
+                   FROM mc GROUP BY 1),
+           v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM mc),
+           model AS (SELECT bg,
+               cast(round(-ln((cb + 1)::DOUBLE / (ca + v.v)) * 1e6)
+                 AS bigint) AS lp_micro
+             FROM mc JOIN ctx ON substr(mc.bg, 1, 1) = ctx.a CROSS JOIN v)
+           SELECT c.doc_id, cast(sum(c.c) AS bigint) AS n_bigrams,
+             round(sum(c.c * m.lp_micro)::DOUBLE / sum(c.c) / 1e6, 4)
+               AS avg_nats
+           FROM counts c JOIN model m USING (bg)
+           GROUP BY 1 ORDER BY 1""",
       // same multiplicative hash, exact integer arithmetic both engines
       "text_stratified_sample" ->
         """WITH h AS (SELECT lang, doc_id,
