@@ -162,6 +162,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Dedup APPLICATION — the step that closes the dedup loop and
+    * materializes the kept corpus: exact near-dup pairs → connected
+    * components → keeper = min doc_id per group → one row per document
+    * with its keeper and survival flag (singletons keep themselves).
+    * Components via the shared size-gated [[graft.kg.Cc]] (distributed
+    * pointer-jumping above the byte budget); the keeper policy is a
+    * numeric min per component, independent of Cc's string labels. */
+  def dedupApply(spark: SparkSession, dir: String,
+                 threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a").cast("string").as("src"),
+        col("doc_b").cast("string").as("dst"))
+    val groups = graft.kg.Cc.connectedComponents(pairs)
+    val reps = groups.groupBy("canon")
+      .agg(min(col("uri").cast("long")).as("keeper"))
+    val mapped = groups.join(reps, "canon")
+      .select(col("uri").cast("long").as("doc_id"), col("keeper"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(mapped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"))
+      .withColumn("kept", col("doc_id") === col("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Language-model quality score — the CCNet-style perplexity filter:
     * train a model ON the corpus, score every document by
     * cross-entropy, filter the tail. Here the model is an add-one-
@@ -578,6 +603,7 @@ object TextOps {
     "text_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "text_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "text_char_lm" -> charLmScore,
+    "text_dedup_apply" -> ((s, d) => dedupApply(s, d)),
     "text_exact_dedup" -> exactDedup,
     "text_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "text_minhash_lsh_pairs" -> ((s, d) => minhashLshPairs(s, d)),
@@ -709,6 +735,32 @@ object TextOps {
                ON o.lang = p.lang AND o.rn = p.rn + 1)
            SELECT lang, 0 AS shard, doc_id, n_tokens, cast(bin AS int) AS bin
            FROM pack ORDER BY lang, doc_id""",
+      // brute pairs -> INDEPENDENT recursive-CTE CC -> numeric-min
+      // keeper; singletons keep themselves via the left join
+      "text_dedup_apply" ->
+        """WITH RECURSIVE
+           toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w
+                    FROM documents),
+           sh AS (SELECT doc_id,
+                    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w)-1)]) AS s
+                  FROM toks WHERE len(w) >= 3),
+           p0 AS (SELECT a.doc_id AS x, b.doc_id AS y
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+           e AS (SELECT x, y FROM p0 UNION SELECT y, x FROM p0),
+           reach(a, b) AS (
+             SELECT x, y FROM e
+             UNION
+             SELECT r.a, e.y FROM reach r JOIN e ON r.b = e.x),
+           mem AS (SELECT a AS node, b AS other FROM reach
+                   UNION SELECT a, a FROM (SELECT DISTINCT a FROM reach)),
+           comp AS (SELECT node, min(other) AS keeper FROM mem GROUP BY 1)
+           SELECT d.doc_id, coalesce(c.keeper, d.doc_id) AS keeper,
+             d.doc_id = coalesce(c.keeper, d.doc_id) AS kept
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+           ORDER BY d.doc_id""",
       // add-one char-bigram LM re-trained in SQL; integer micro-nat
       // costs make the document sums exact in both engines
       "text_char_lm" ->
