@@ -474,6 +474,50 @@ object KgQueries {
       .orderBy("dimension", "bucket")
   }
 
+  /** Atom feed SERIALIZATION (news_write_atom, documentrepository.py:
+    * 3527-3625): per-publisher feeds rendered as actual Atom XML,
+    * split into fixed-size archive files (the reference's archivesize
+    * chunking; its "main file holds up to 2x" nuance is simplified to
+    * uniform chunks). Entries sort newest-first, the feed <updated> is
+    * the max entry timestamp, titles are XML-escaped. One row per
+    * (feed, archive) carrying the complete XML document — the
+    * distributed unit a sink writes per file; entry order inside the
+    * aggregate is pinned by sorting the collected (rank, xml) structs,
+    * so the string is deterministic under parallel aggregation. */
+  def atomFeeds(spark: SparkSession, dir: String,
+                archiveSize: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fac = facetPivot(spark, dir).filter(col("publisher").isNotNull &&
+      col("issued").isNotNull && col("title").isNotNull)
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val entries = fac.select(
+        regexp_replace(col("publisher"), "^.*/", "").as("slug"),
+        col("uri"), esc(col("title")).as("t"),
+        concat(col("issued"), lit("T00:00:00Z")).as("ts"))
+      .withColumn("rk", row_number().over(Window.partitionBy("slug")
+        .orderBy(col("ts").desc, col("uri").asc)))
+      .withColumn("archive_no",
+        ((col("rk") - 1) / archiveSize).cast("int"))
+      .withColumn("exml", concat(lit("<entry><title>"), col("t"),
+        lit("</title><id>"), col("uri"), lit("</id><updated>"), col("ts"),
+        lit("</updated><link href=\""), col("uri"), lit("\"/></entry>")))
+    entries.groupBy("slug", "archive_no")
+      .agg(count(lit(1)).as("n_entries"), max(col("ts")).as("updated"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("exml")))),
+          s => s.getField("exml")), "").as("body"))
+      .select(col("slug"), col("archive_no"), col("n_entries"),
+        concat(lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><id>"),
+          lit(EntityDict.base + "/feed/"), col("slug"), lit("-"),
+          col("archive_no").cast("string"),
+          lit(".atom</id><title>"), col("slug"),
+          lit("</title><updated>"), col("updated"), lit("</updated>"),
+          col("body"), lit("</feed>")).as("xml"))
+      .orderBy("slug", "archive_no")
+  }
+
   /** Autocomplete query (wsgiapp.py:411,430-434 `_ac=true`; the
     * reference indexes page/fragment rows with role=autocomplete so
     * typing "prop. 2018/19:42 s 12" completes): PREFIX match over
@@ -716,6 +760,7 @@ object KgQueries {
     "kg_search_filtered" -> ((s, d) => search(s, d, fieldFilters =
       Seq("publisher" -> (EntityDict.base + "/org/ietf")))),
     "kg_search_ac" -> ((s, d) => acSearch(s, d)),
+    "kg_atom_feeds" -> ((s, d) => atomFeeds(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -1123,6 +1168,31 @@ object KgQueries {
              count(DISTINCT uri) FROM matched
              WHERE publisher IS NOT NULL GROUP BY 2)
          ORDER BY dimension, bucket""",
+    // the full Atom XML strings re-assembled in SQL: same escaping
+    // order (& first), same archive chunking, same pinned entry order
+    "kg_atom_feeds" ->
+      s"""WITH $pivotCte,
+         f AS (SELECT regexp_replace(publisher, '^.*/', '') AS slug, uri,
+             replace(replace(replace(title, '&', '&amp;'),
+               '<', '&lt;'), '>', '&gt;') AS t,
+             issued || 'T00:00:00Z' AS ts
+           FROM piv WHERE publisher IS NOT NULL AND issued IS NOT NULL
+             AND title IS NOT NULL),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY slug ORDER BY ts DESC, uri ASC) AS rk FROM f),
+         a AS (SELECT *, cast((rk - 1) // 5 AS int) AS archive_no,
+             '<entry><title>' || t || '</title><id>' || uri ||
+             '</id><updated>' || ts || '</updated><link href="' || uri ||
+             '"/></entry>' AS exml
+           FROM r)
+         SELECT slug, archive_no, count(*) AS n_entries,
+           '<feed xmlns="http://www.w3.org/2005/Atom"><id>' ||
+           '${EntityDict.base}/feed/' || slug || '-' || archive_no ||
+           '.atom</id><title>' || slug || '</title><updated>' ||
+           max(ts) || '</updated>' ||
+           string_agg(exml, '' ORDER BY rk) || '</feed>' AS xml
+         FROM a GROUP BY slug, archive_no
+         ORDER BY slug, archive_no""",
     // exact field-term filter (filterterms) before ranking
     "kg_search_filtered" ->
       s"""WITH $pivotCte,
