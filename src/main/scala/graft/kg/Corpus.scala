@@ -1023,6 +1023,32 @@ object Corpus {
       }
     }
 
+    // ---- övergångsbestämmelser + bilaga tail (SfsParser's tail slice,
+    // exercised distributed): citation-free Swedish prose, so the
+    // mention ground truth is untouched — the tail exercises STRUCTURE
+    // parsing only (bare amendment-id lines are consumed as sfsnr
+    // attributes, never citation-scanned)
+    if (r.nextBool(0.5)) {
+      b.append("Övergångsbestämmelser\n\n")
+      b.append("Denna författning träder i kraft den 1 juli och " +
+        "tillämpas första gången för det året.\n\n")
+      b.append(s"${sfsIdOf(other())}\n\n")
+      b.append("1. Äldre föreskrifter gäller fortfarande för tid " +
+        "före ikraftträdandet\n\n")
+      b.append("2. Mål som inletts tidigare prövas enligt äldre " +
+        "bestämmelser\n\n")
+      if (r.nextBool(0.5)) {
+        b.append(s"${sfsIdOf(other())}\n\n")
+        b.append("Vid ikraftträdandet upphör tidigare meddelade " +
+          "beslut att gälla.\n\n")
+      }
+    }
+    if (r.nextBool(0.3)) {
+      b.append("Bilaga\n\n")
+      b.append("Förteckning över de myndigheter som avses i denna " +
+        "författning.\n\n")
+    }
+
     val commit = f"l${(seed ^ i) & 0xffffffffL}%08x"
     GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
   }

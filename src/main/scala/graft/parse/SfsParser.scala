@@ -39,11 +39,21 @@ import java.util.regex.Pattern
   *    Listelement (sfs_parser.py:313-409); list ordinals lose their
   *    separator (idOfNumreradLista, sfs_parser.py:1205-1222).
   *
+  * Also kept: övergångsbestämmelser (transitional provisions) and
+  * bilagor (appendices) — the document TAIL structure
+  * (sfs_parser.py:417-487, 1240-1276): the three separator headings
+  * (with the headline-not-separator guard: a separator followed by a
+  * regular paragraf is an ordinary rubrik), per-amendment
+  * Overgangsbestammelse blocks keyed by a bare `NNNN:NNN` SFS-id line,
+  * initial un-keyed provisions wrapped with an assumed sfsnr, the
+  * rubrik_saknas top-level wrap (sfs_parser.py:102-107), and Bilaga
+  * blocks bounded by the next bilaga/övergångsbestämmelser.
+  *
   * Scoped out (cited): Avdelning/Underavdelning roman-numeral divisions,
-  * tabeller, övergångsbestämmelser, bilagor, upphävda element and the
-  * /Upphör…/-/Träder i kraft…/ temporal annotations (andringsDatum) —
-  * the corpus statutes are consolidated text without in-force markers
-  * (sfs_parser.py:114-175, 418-517, 894-1199 document those branches).
+  * tabeller, upphävda element and the /Upphör…/-/Träder i kraft…/
+  * temporal annotations (andringsDatum) — the corpus statutes are
+  * consolidated text without in-force markers (sfs_parser.py:114-175,
+  * 489-517, 894-1199 document those branches).
   *
   * Pure per-row logic: one [[parse]] call per document inside a Dataset
   * map stage — no Spark types, no shared state.
@@ -59,6 +69,7 @@ object SfsParser {
   private val Bokstavslista = Pattern.compile("^(\\w)\\) ")
   private val Strecksatslista = Pattern.compile("^(- | |– |--)")
   private val ChangeNote = Pattern.compile("(Lag|Förordning) \\(\\d{4}:\\d+\\)\\.?$")
+  private val SimpleSfsId = Pattern.compile("^(\\d{4}:\\d+)\\s*$")
 
   /** util.numcmp over "2 a"-style ordinals: split into digit/non-digit
     * runs, compare pairwise (numbers numerically). */
@@ -218,7 +229,31 @@ object SfsParser {
     case object BokstavLista extends Handler
     case object Rub extends Handler
     case object StyckeH extends Handler
+    case object ObsH extends Handler   // övergångsbestämmelser separator
+    case object ObH extends Handler    // one bestämmelse (bare SFS-id line)
+    case object BilagaH extends Handler
     case object Eof extends Handler
+
+    /** isOvergangsbestammelser (sfs_parser.py:1240-1263): one of the
+      * three separator headings; a separator followed by a regular
+      * paragraf is an ordinary headline, not the tail separator. (The
+      * reference's difflib 0.9 fuzzy heading match is skipped — it only
+      * warns on typos in real gazette text.) */
+    val obSeparators = Set("Övergångsbestämmelser",
+      "Ikraftträdande- och övergångsbestämmelser",
+      "Övergångs- och ikraftträdandebestämmelser")
+    def isObs(line: String): Boolean =
+      obSeparators.contains(line.trim) &&
+        !isParagraf(normalize(reader.peekparagraph(2)))
+
+    /** isBilaga (sfs_parser.py:1268-1276), minus the andringsDatum strip
+      * (temporal markers scoped out). */
+    def isBilaga(line: String): Boolean = {
+      val l = line.replace(" /Bilagan är inte med här/", "").trim
+      Set("Bilaga", "Bilaga*", "Bilaga *", "Bilaga 1", "Bilaga 2",
+        "Bilaga 2 a", "Bilaga 3", "Bilaga 4", "Bilaga 5",
+        "Bilaga 6")(l)
+    }
 
     /** guess_state (sfs_parser.py:519-557), in the reference's order. */
     def guess(): Handler = {
@@ -229,6 +264,9 @@ object SfsParser {
         val line = reader.peekline()
         if (isKapitel(para)) Kap
         else if (isParagraf(para)) Par
+        else if (isObs(line)) ObsH
+        else if (SimpleSfsId.matcher(line).find()) ObH
+        else if (isBilaga(line)) BilagaH
         else if (isNumreradLista(line)) NumLista
         else if (isStrecksatslista(line)) StreckLista
         else if (isBokstavslista(line)) BokstavLista
@@ -343,7 +381,9 @@ object SfsParser {
       while (go && !reader.eof) {
         guess() match {
           case Blank => reader.readline()
-          case Par | Kap | Rub | Eof => go = false
+          // ObH also ends a paragraf — the reference warns "Avskiljande
+          // rubrik saknas" and closes it (sfs_parser.py:285-305)
+          case Par | Kap | Rub | ObsH | ObH | BilagaH | Eof => go = false
           case StyckeH => p = p.appendChild(makeStycke(None))
           case other =>
             // the reference asserts only stycke continues a paragraf
@@ -380,16 +420,103 @@ object SfsParser {
       while (go && !reader.eof) {
         guess() match {
           case Blank => reader.readline()
-          case Kap | Eof => go = false
+          // the tail separators end a kapitel (sfs_parser.py:198-204)
+          case Kap | ObsH | BilagaH | Eof => go = false
           case Par => k = k.appendChild(makeParagraf())
           case Rub => k = k.appendChild(makeRubrik())
           case StyckeH => k = k.appendChild(makeStycke(None))
           case NumLista => k = k.appendChild(makeNumreradLista())
           case BokstavLista => k = k.appendChild(makeBokstavslista())
           case StreckLista => k = k.appendChild(makeStrecksatslista())
+          // a bare bestämmelse inside a kapitel takes the generic
+          // append branch in the reference (sfs_parser.py:206-209)
+          case ObH => k = k.appendChild(makeOvergangsbestammelse())
         }
       }
       k
+    }
+
+    /** makeOvergangsbestammelse (sfs_parser.py:453-466): one amendment's
+      * provisions, keyed by its bare SFS-id line; collects structure
+      * until the next bestämmelse or bilaga. */
+    def makeOvergangsbestammelse(): TreeNode = {
+      val m = SimpleSfsId.matcher(reader.readline())
+      m.find()
+      var ob = TreeNode("Overgangsbestammelse",
+        Vector("sfsnr" -> m.group(1)))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case ObH | ObsH | BilagaH | Eof => go = false
+          case Kap => ob = ob.appendChild(makeKapitel())
+          case Par => ob = ob.appendChild(makeParagraf())
+          case Rub => ob = ob.appendChild(makeRubrik())
+          case NumLista => ob = ob.appendChild(makeNumreradLista())
+          case BokstavLista => ob = ob.appendChild(makeBokstavslista())
+          case StreckLista => ob = ob.appendChild(makeStrecksatslista())
+          case StyckeH => ob = ob.appendChild(makeStycke(None))
+        }
+      }
+      ob
+    }
+
+    /** makeOvergangsbestammelser (sfs_parser.py:417-451): the tail
+      * container. rubrikSaknas mirrors the sfs_parser.py:102-107 special
+      * case — a bare bestämmelse hit at the top level wraps itself in a
+      * container with the placeholder rubrik. Initial un-keyed
+      * provisions wrap as one bestämmelse with an assumed sfsnr
+      * (the reference guesses the document's own id; without a basefile
+      * the parser uses its documented fallback "0000:000"). */
+    def makeOvergangsbestammelser(rubrikSaknas: Boolean): TreeNode = {
+      val rubrik =
+        if (rubrikSaknas) "[Övergångsbestämmelser]"
+        else normalize(reader.readparagraph())
+      var obs = TreeNode("Overgangsbestammelser", Vector("rubrik" -> rubrik))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case BilagaH | Eof => go = false
+          case ObH => obs = obs.appendChild(makeOvergangsbestammelse())
+          case other =>
+            val res = other match {
+              case Kap => makeKapitel()
+              case Par => makeParagraf()
+              case Rub => makeRubrik()
+              case NumLista => makeNumreradLista()
+              case BokstavLista => makeBokstavslista()
+              case StreckLista => makeStrecksatslista()
+              case _ => makeStycke(None)
+            }
+            obs = obs.appendChild(TreeNode("Overgangsbestammelse",
+              Vector("sfsnr" -> "0000:000")).appendChild(res))
+        }
+      }
+      obs
+    }
+
+    /** makeBilaga (sfs_parser.py:468-487), minus andringsDatum. */
+    def makeBilaga(): TreeNode = {
+      val rubrik = normalize(reader.readparagraph())
+        .replace(" /Bilagan är inte med här/", "")
+      var bn = TreeNode("Bilaga", Vector("rubrik" -> rubrik))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case BilagaH | ObsH | Eof => go = false
+          case Kap => bn = bn.appendChild(makeKapitel())
+          case Par => bn = bn.appendChild(makeParagraf())
+          case Rub => bn = bn.appendChild(makeRubrik())
+          case NumLista => bn = bn.appendChild(makeNumreradLista())
+          case BokstavLista => bn = bn.appendChild(makeBokstavslista())
+          case StreckLista => bn = bn.appendChild(makeStrecksatslista())
+          case StyckeH => bn = bn.appendChild(makeStycke(None))
+          case ObH => bn = bn.appendChild(makeOvergangsbestammelse())
+        }
+      }
+      bn
     }
 
     // ---- makeForfattning (sfs_parser.py:83-111)
@@ -405,6 +532,11 @@ object SfsParser {
         case NumLista => b = b.appendChild(makeNumreradLista())
         case BokstavLista => b = b.appendChild(makeBokstavslista())
         case StreckLista => b = b.appendChild(makeStrecksatslista())
+        case ObsH => b = b.appendChild(makeOvergangsbestammelser(false))
+        // bare bestämmelse with no separator: wrap with the placeholder
+        // rubrik (sfs_parser.py:102-107)
+        case ObH => b = b.appendChild(makeOvergangsbestammelser(true))
+        case BilagaH => b = b.appendChild(makeBilaga())
       }
     }
     b

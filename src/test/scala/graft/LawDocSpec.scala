@@ -19,6 +19,19 @@ class LawDocSpec extends AnyFunSuite {
 
   private lazy val docs = (0L until M).map(Corpus.lawDoc(Seed, _, M))
 
+  test("övergångsbestämmelser tails parse as structure, not citations") {
+    val parsed = docs.map(d => LawDoc.parse(d.src))
+    val withTail = parsed.filter(_.bodyXml.contains("<Overgangsbestammelser"))
+    assert(withTail.nonEmpty, "no law docs carry the obs tail")
+    withTail.foreach { p =>
+      // amendment-id lines become sfsnr attributes, never mentions
+      assert(p.bodyXml.contains("sfsnr=\""))
+      assert(!p.mentions.exists(_.grammar.contains("Obs")))
+    }
+    assert(parsed.exists(_.bodyXml.contains("<Bilaga")),
+      "no law docs carry a bilaga")
+  }
+
   test("law corpus: names unique, dictionary covers them, P/R = 1.0") {
     val names = (0L until Corpus.MaxLaws).map(Corpus.lawNameOf)
     assert(names.distinct.size == names.size)

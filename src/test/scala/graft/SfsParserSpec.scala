@@ -87,6 +87,86 @@ class SfsParserSpec extends AnyFunSuite {
       s"\ngot:  ${TreeNode.canonical(got)}\nwant: ${TreeNode.canonical(want)}")
   }
 
+  test("tail structure: övergångsbestämmelser + bilaga (hand-derived)") {
+    val text =
+      """1 kap. Inledning
+        |
+        |1 § Lagen gäller här.
+        |
+        |Övergångsbestämmelser
+        |
+        |Denna lag träder i kraft den 1 januari.
+        |
+        |1998:204
+        |
+        |1. Äldre föreskrifter gäller fortfarande.
+        |
+        |2. Mål som inletts prövas enligt äldre rätt.
+        |
+        |2005:551
+        |
+        |Vid ikraftträdandet upphör tidigare beslut.
+        |
+        |Bilaga
+        |
+        |Förteckning över myndigheter.
+        |""".stripMargin
+    val want = el("Forfattning")(
+      el("Kapitel", "ordinal" -> "1", "rubrik" -> "1 kap. Inledning")(
+        el("Paragraf", "ordinal" -> "1")(
+          el("Stycke")(str("Lagen gäller här.")))),
+      el("Overgangsbestammelser", "rubrik" -> "Övergångsbestämmelser")(
+        // the initial un-keyed stycke wraps with the assumed sfsnr
+        el("Overgangsbestammelse", "sfsnr" -> "0000:000")(
+          el("Stycke")(str("Denna lag träder i kraft den 1 januari."))),
+        el("Overgangsbestammelse", "sfsnr" -> "1998:204")(
+          el("NumreradLista")(
+            el("Listelement", "ordinal" -> "1")(
+              str("Äldre föreskrifter gäller fortfarande.")),
+            el("Listelement", "ordinal" -> "2")(
+              str("Mål som inletts prövas enligt äldre rätt.")))),
+        el("Overgangsbestammelse", "sfsnr" -> "2005:551")(
+          el("Stycke")(str("Vid ikraftträdandet upphör tidigare beslut.")))),
+      el("Bilaga", "rubrik" -> "Bilaga")(
+        el("Stycke")(str("Förteckning över myndigheter."))))
+    val got = SfsParser.parse(text)
+    assert(TreeNode.canonical(got) == TreeNode.canonical(want),
+      s"\ngot:  ${TreeNode.canonical(got)}\nwant: ${TreeNode.canonical(want)}")
+  }
+
+  test("separator followed by a regular paragraf is an ordinary headline") {
+    // sfs_parser.py:1255-1262: "Övergångsbestämmelser" as a rubrik
+    val text =
+      """1 kap. Regler
+        |
+        |1 § Första regeln.
+        |
+        |Övergångsbestämmelser
+        |
+        |2 § Andra regeln gäller övergångsvis.
+        |""".stripMargin
+    val got = SfsParser.parse(text)
+    assert(!got.children.exists(_.tag == "Overgangsbestammelser"))
+    val kap = got.children.find(_.tag == "Kapitel").get
+    assert(kap.children.exists(c => c.tag == "Rubrik" &&
+      c.text.contains("Övergångsbestämmelser")))
+    assert(kap.children.count(_.tag == "Paragraf") == 2)
+  }
+
+  test("bare bestämmelse with no separator wraps with rubrik_saknas") {
+    val text =
+      """1 § Enda paragrafen.
+        |
+        |1998:204
+        |
+        |Äldre rätt gäller.
+        |""".stripMargin
+    val got = SfsParser.parse(text)
+    val obs = got.children.find(_.tag == "Overgangsbestammelser").get
+    assert(obs.attr("rubrik").contains("[Övergångsbestämmelser]"))
+    assert(obs.children.map(_.attr("sfsnr").get) == Vector("1998:204"))
+  }
+
   test("TOC fake-chapter guard: chapter list inside 1 kap. 1 § is not a chapter") {
     // the 2011:1244 shape (sfs_parser.py:650-663): a first chapter whose
     // single 1 § lists the chapters; the listed "2 kap."/"3 kap." lines
