@@ -991,6 +991,13 @@ object Corpus {
 
     val b = new StringBuilder
     b.append(title).append("\n\n") // title line is NOT scanned (LawDoc)
+    // a leading division heading (SfsParser's Avdelning slice,
+    // distributed): heading + underrubrik, both attrs — never scanned.
+    // Only ONE division: the reference's TOC guard blocks a second
+    // division while the parser is still in chapter 1, and the corpus
+    // statutes have at most two chapters (sfs_parser.py:566-570).
+    if (r.nextBool(0.3))
+      b.append("FÖRSTA AVDELNINGEN\n\nÖvergripande bestämmelser\n\n")
     chapters.foreach { case (kap, kapRubrik, secs) =>
       val kapUri = s"$uri#K$kap"
       b.append(s"$kap kap. $kapRubrik\n\n")

@@ -128,11 +128,22 @@ object SfsParser {
 
   // ---- parser state (sfs_parser.py's `state` dict)
   private final class St {
+    var currentAvdelning = "0"
     var currentChapter = "0"
     var currentSection = "0"
     var fakeChapter = "0"
     var headlineLevel = 0
   }
+
+  /** sfs_parser.py:57-69: "första" → 1 … "tolfte" → 12. */
+  private val SwedishOrdinals = Vector("första", "andra", "tredje",
+    "fjärde", "femte", "sjätte", "sjunde", "åttonde", "nionde", "tionde",
+    "elfte", "tolfte").zipWithIndex.map { case (w, i) => w -> (i + 1) }.toMap
+
+  /** The strict roman-numeral validator the reference uses before
+    * from_roman (sfs_parser.py:50-52). */
+  private val RomanNumeral = Pattern.compile(
+    "^M?M?M?(CM|CD|D?C?C?C?)(XC|XL|L?X?X?X?)(IX|IV|V?I?I?I?)$")
 
   def parse(text: String): TreeNode = {
     val reader = new Reader(text)
@@ -229,10 +240,53 @@ object SfsParser {
     case object BokstavLista extends Handler
     case object Rub extends Handler
     case object StyckeH extends Handler
+    case object AvdH extends Handler   // avdelning (division) heading
     case object ObsH extends Handler   // övergångsbestämmelser separator
     case object ObH extends Handler    // one bestämmelse (bare SFS-id line)
     case object BilagaH extends Handler
     case object Eof extends Handler
+
+    /** idOfAvdelning (sfs_parser.py:586-620): the six styles of
+      * division headings in Swedish law ("FÖRSTA AVDELNINGEN",
+      * "AVD. I", "AVDELNING I.", "Avdelning I", "1 avd.", "Avd. 1";
+      * the single-letter 2010:110 style). */
+    def idOfAvdelning(): Option[String] = {
+      val p = reader.peekline()
+      val parts = p.trim.split("\\s+")
+      def roman(r0: String): Option[String] = {
+        val r = if (r0.endsWith(".")) r0.dropRight(1) else r0
+        if (r.nonEmpty && RomanNumeral.matcher(r).matches())
+          Some(graft.functions.Selectors.fromRoman(r).toString)
+        else if (Set("A", "B", "C", "D", "E", "F", "G", "H")(r)) Some(r)
+        else None
+      }
+      if (p.toLowerCase.endsWith("avdelningen") && parts.length == 2)
+        SwedishOrdinals.get(parts(0).toLowerCase).map(_.toString)
+      else if ((p.startsWith("AVD. ") || p.startsWith("AVDELNING ")) &&
+               parts.length >= 2)
+        roman(parts(1)) // roman OR the 2010:110 single letters
+      else if (p.startsWith("Avdelning ") && parts.length >= 2)
+        roman(parts(1)).filter(_.forall(_.isDigit)) // roman only here
+      else if (p.length > 6 && p.substring(2, 6) == "avd." && p(0).isDigit)
+        Some(p(0).toString)
+      else if (p.startsWith("Avd. ") && parts.length >= 2 &&
+               parts(1).forall(_.isDigit))
+        Some(parts(1))
+      else None
+    }
+
+    /** isAvdelning (sfs_parser.py:558-571): heading of <= 3 lines with a
+      * division ordinal GREATER than the current one; a division while
+      * still in chapter 1 is probably a TOC excerpt. */
+    def isAvdelning(): Boolean = {
+      val p = reader.peekparagraph()
+      if (p.count(_ == '\n') > 2) false
+      else idOfAvdelning() match {
+        case Some(ord) => numCmp(ord, st.currentAvdelning) > 0 &&
+          st.currentChapter != "1"
+        case None => false
+      }
+    }
 
     /** isOvergangsbestammelser (sfs_parser.py:1240-1263): one of the
       * three separator headings; a separator followed by a regular
@@ -262,7 +316,8 @@ object SfsParser {
       else {
         val para = normalize(reader.peekparagraph())
         val line = reader.peekline()
-        if (isKapitel(para)) Kap
+        if (isAvdelning()) AvdH
+        else if (isKapitel(para)) Kap
         else if (isParagraf(para)) Par
         else if (isObs(line)) ObsH
         else if (SimpleSfsId.matcher(line).find()) ObH
@@ -383,7 +438,8 @@ object SfsParser {
           case Blank => reader.readline()
           // ObH also ends a paragraf — the reference warns "Avskiljande
           // rubrik saknas" and closes it (sfs_parser.py:285-305)
-          case Par | Kap | Rub | ObsH | ObH | BilagaH | Eof => go = false
+          case Par | Kap | AvdH | Rub | ObsH | ObH | BilagaH | Eof =>
+            go = false
           case StyckeH => p = p.appendChild(makeStycke(None))
           case other =>
             // the reference asserts only stycke continues a paragraf
@@ -420,8 +476,9 @@ object SfsParser {
       while (go && !reader.eof) {
         guess() match {
           case Blank => reader.readline()
-          // the tail separators end a kapitel (sfs_parser.py:198-204)
-          case Kap | ObsH | BilagaH | Eof => go = false
+          // divisions and the tail separators end a kapitel
+          // (sfs_parser.py:198-204)
+          case Kap | AvdH | ObsH | BilagaH | Eof => go = false
           case Par => k = k.appendChild(makeParagraf())
           case Rub => k = k.appendChild(makeRubrik())
           case StyckeH => k = k.appendChild(makeStycke(None))
@@ -434,6 +491,41 @@ object SfsParser {
         }
       }
       k
+    }
+
+    /** makeAvdelning (sfs_parser.py:621-640): heading line (+ optional
+      * single-line underrubrik when the next-but-one line is isolated by
+      * blanks and is not itself a chapter); collects chapters and
+      * content until the next division or tail element. Underavdelning
+      * is scoped out — the reference itself gates it to exactly two
+      * statutes (sfs_parser.py:573-581). */
+    def makeAvdelning(): TreeNode = {
+      val ordinal = idOfAvdelning().get
+      st.currentAvdelning = ordinal
+      val rubrik = reader.readline()
+      var attrs = Vector("ordinal" -> ordinal, "rubrik" -> rubrik)
+      if (reader.peekline(1).trim.isEmpty && reader.peekline(3).trim.isEmpty &&
+          !isKapitel(normalize(reader.peekline(2)))) {
+        reader.readline() // the blank
+        attrs :+= ("underrubrik" -> reader.readline())
+      }
+      var av = TreeNode("Avdelning", attrs)
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case AvdH | ObsH | BilagaH | Eof => go = false
+          case Kap => av = av.appendChild(makeKapitel())
+          case Par => av = av.appendChild(makeParagraf())
+          case Rub => av = av.appendChild(makeRubrik())
+          case NumLista => av = av.appendChild(makeNumreradLista())
+          case BokstavLista => av = av.appendChild(makeBokstavslista())
+          case StreckLista => av = av.appendChild(makeStrecksatslista())
+          case StyckeH => av = av.appendChild(makeStycke(None))
+          case ObH => av = av.appendChild(makeOvergangsbestammelse())
+        }
+      }
+      av
     }
 
     /** makeOvergangsbestammelse (sfs_parser.py:453-466): one amendment's
@@ -532,6 +624,7 @@ object SfsParser {
         case NumLista => b = b.appendChild(makeNumreradLista())
         case BokstavLista => b = b.appendChild(makeBokstavslista())
         case StreckLista => b = b.appendChild(makeStrecksatslista())
+        case AvdH => b = b.appendChild(makeAvdelning())
         case ObsH => b = b.appendChild(makeOvergangsbestammelser(false))
         // bare bestämmelse with no separator: wrap with the placeholder
         // rubrik (sfs_parser.py:102-107)

@@ -87,6 +87,46 @@ class SfsParserSpec extends AnyFunSuite {
       s"\ngot:  ${TreeNode.canonical(got)}\nwant: ${TreeNode.canonical(want)}")
   }
 
+  test("avdelning: division headings with underrubrik, all id styles") {
+    val text =
+      """FÖRSTA AVDELNINGEN
+        |
+        |Övergripande bestämmelser
+        |
+        |1 kap. Inledning
+        |
+        |1 § Lagen gäller här.
+        |
+        |2 § Andra regeln finns här.
+        |
+        |2 kap. Fortsättning
+        |
+        |1 § Andra kapitlets regel.
+        |
+        |AVD. II PÅFÖLJDER
+        |
+        |3 kap. Särskilda regler
+        |
+        |1 § Tredje kapitlets regel.
+        |""".stripMargin
+    val got = SfsParser.parse(text)
+    val avds = got.children.filter(_.tag == "Avdelning")
+    assert(avds.map(_.attr("ordinal").get) == Vector("1", "2"))
+    assert(avds(0).attr("rubrik").contains("FÖRSTA AVDELNINGEN"))
+    assert(avds(0).attr("underrubrik").contains("Övergripande bestämmelser"))
+    assert(avds(0).children.filter(_.tag == "Kapitel")
+      .map(_.attr("ordinal").get) == Vector("1", "2"))
+    // AVD. II has no underrubrik (next line is a chapter)
+    assert(avds(1).attr("underrubrik").isEmpty)
+    assert(avds(1).children.filter(_.tag == "Kapitel")
+      .map(_.attr("ordinal").get) == Vector("3"))
+    // id styles resolve (sfs_parser.py:586-620)
+    assert(SfsParser.parse("AVDELNING IV. REGLER\n\n5 kap. X\n\n1 § Y.\n")
+      .children.head.attr("ordinal").contains("4"))
+    assert(SfsParser.parse("Avd. 2 Taxering\n\n5 kap. X\n\n1 § Y.\n")
+      .children.head.attr("ordinal").contains("2"))
+  }
+
   test("tail structure: övergångsbestämmelser + bilaga (hand-derived)") {
     val text =
       """1 kap. Inledning
