@@ -49,11 +49,20 @@ import java.util.regex.Pattern
   * rubrik_saknas top-level wrap (sfs_parser.py:102-107), and Bilaga
   * blocks bounded by the next bilaga/övergångsbestämmelser.
   *
-  * Scoped out (cited): Avdelning/Underavdelning roman-numeral divisions,
-  * tabeller, upphävda element and the /Upphör…/-/Träder i kraft…/
-  * temporal annotations (andringsDatum) — the corpus statutes are
-  * consolidated text without in-force markers (sfs_parser.py:114-175,
-  * 489-517, 894-1199 document those branches).
+  * Also kept: Avdelning divisions (all six heading-id styles,
+  * sfs_parser.py:558-640 — swedish ordinal word, AVD./AVDELNING with
+  * roman or single-letter ordinals, Avd. N, N avd.; the
+  * greater-than-current and not-in-chapter-1 guards; optional
+  * underrubrik) and the revoked-element stubs UpphavtKapitel /
+  * UpphavdParagraf (sfs_parser.py:33-36, 173-180, 234-241 — one-line
+  * "har upphävts genom lag (…)" markers, the section form also
+  * advancing current_section).
+  *
+  * Scoped out (cited): Underavdelning (the reference gates it to
+  * exactly two statutes, sfs_parser.py:573-581), tabeller, and the
+  * /Upphör…/-/Träder i kraft…/ temporal annotations (andringsDatum) —
+  * the corpus statutes are consolidated text without in-force markers
+  * (sfs_parser.py:489-517, 894-1199 document those branches).
   *
   * Pure per-row logic: one [[parse]] call per document inside a Dataset
   * map stage — no Spark types, no shared state.
@@ -70,6 +79,12 @@ object SfsParser {
   private val Strecksatslista = Pattern.compile("^(- | |– |--)")
   private val ChangeNote = Pattern.compile("(Lag|Förordning) \\(\\d{4}:\\d+\\)\\.?$")
   private val SimpleSfsId = Pattern.compile("^(\\d{4}:\\d+)\\s*$")
+  private val ChapterRevoked = Pattern.compile(
+    "^(\\d+( \\w|)) [Kk]ap\\. (upphävd|[Hh]ar upphävts) genom " +
+    "(förordning|lag) \\([\\d:. s]+\\)\\.?$")
+  private val SectionRevoked = Pattern.compile(
+    "^(\\d+ ?\\w?) §[ .]([Hh]ar upphävts|[Nn]y beteckning (\\d+ ?\\w?) §) " +
+    "genom ([Ff]örordning|[Ll]ag) \\([\\d:. s]+\\)\\.$")
 
   /** util.numcmp over "2 a"-style ordinals: split into digit/non-digit
     * runs, compare pairwise (numbers numerically). */
@@ -241,6 +256,8 @@ object SfsParser {
     case object Rub extends Handler
     case object StyckeH extends Handler
     case object AvdH extends Handler   // avdelning (division) heading
+    case object UKapH extends Handler  // revoked chapter stub line
+    case object UParH extends Handler  // revoked/renumbered section stub
     case object ObsH extends Handler   // övergångsbestämmelser separator
     case object ObH extends Handler    // one bestämmelse (bare SFS-id line)
     case object BilagaH extends Handler
@@ -317,6 +334,10 @@ object SfsParser {
         val para = normalize(reader.peekparagraph())
         val line = reader.peekline()
         if (isAvdelning()) AvdH
+        // revoked stubs outrank the live recognizers
+        // (guess_state order, sfs_parser.py:526-533)
+        else if (ChapterRevoked.matcher(line).matches()) UKapH
+        else if (SectionRevoked.matcher(line).matches()) UParH
         else if (isKapitel(para)) Kap
         else if (isParagraf(para)) Par
         else if (isObs(line)) ObsH
@@ -438,7 +459,8 @@ object SfsParser {
           case Blank => reader.readline()
           // ObH also ends a paragraf — the reference warns "Avskiljande
           // rubrik saknas" and closes it (sfs_parser.py:285-305)
-          case Par | Kap | AvdH | Rub | ObsH | ObH | BilagaH | Eof =>
+          case Par | Kap | AvdH | UKapH | UParH | Rub | ObsH | ObH |
+               BilagaH | Eof =>
             go = false
           case StyckeH => p = p.appendChild(makeStycke(None))
           case other =>
@@ -476,9 +498,10 @@ object SfsParser {
       while (go && !reader.eof) {
         guess() match {
           case Blank => reader.readline()
-          // divisions and the tail separators end a kapitel
-          // (sfs_parser.py:198-204)
-          case Kap | AvdH | ObsH | BilagaH | Eof => go = false
+          // divisions, revoked-chapter stubs and the tail separators
+          // end a kapitel (sfs_parser.py:198-204)
+          case Kap | AvdH | UKapH | ObsH | BilagaH | Eof => go = false
+          case UParH => k = k.appendChild(makeUpphavdParagraf())
           case Par => k = k.appendChild(makeParagraf())
           case Rub => k = k.appendChild(makeRubrik())
           case StyckeH => k = k.appendChild(makeStycke(None))
@@ -491,6 +514,26 @@ object SfsParser {
         }
       }
       k
+    }
+
+    /** makeUpphavtKapitel / makeUpphavdParagraf (sfs_parser.py:173-180,
+      * 234-241): one-line stubs marking a revoked chapter, or a revoked/
+      * renumbered section (which still advances current_section so the
+      * following live sections keep their ordinal ordering). */
+    def makeUpphavtKapitel(): TreeNode = {
+      val line = reader.readline()
+      val m = ChapterRevoked.matcher(line)
+      require(m.matches())
+      TreeNode("UpphavtKapitel", Vector("ordinal" -> m.group(1)),
+        text = Some(line))
+    }
+    def makeUpphavdParagraf(): TreeNode = {
+      val line = reader.readline()
+      val m = SectionRevoked.matcher(line)
+      require(m.matches())
+      st.currentSection = m.group(1)
+      TreeNode("UpphavdParagraf", Vector("ordinal" -> m.group(1)),
+        text = Some(line))
     }
 
     /** makeAvdelning (sfs_parser.py:621-640): heading line (+ optional
@@ -523,6 +566,8 @@ object SfsParser {
           case StreckLista => av = av.appendChild(makeStrecksatslista())
           case StyckeH => av = av.appendChild(makeStycke(None))
           case ObH => av = av.appendChild(makeOvergangsbestammelse())
+          case UKapH => av = av.appendChild(makeUpphavtKapitel())
+          case UParH => av = av.appendChild(makeUpphavdParagraf())
         }
       }
       av
@@ -548,6 +593,8 @@ object SfsParser {
           case BokstavLista => ob = ob.appendChild(makeBokstavslista())
           case StreckLista => ob = ob.appendChild(makeStrecksatslista())
           case StyckeH => ob = ob.appendChild(makeStycke(None))
+          case UKapH => ob = ob.appendChild(makeUpphavtKapitel())
+          case UParH => ob = ob.appendChild(makeUpphavdParagraf())
         }
       }
       ob
@@ -579,6 +626,8 @@ object SfsParser {
               case NumLista => makeNumreradLista()
               case BokstavLista => makeBokstavslista()
               case StreckLista => makeStrecksatslista()
+              case UKapH => makeUpphavtKapitel()
+              case UParH => makeUpphavdParagraf()
               case _ => makeStycke(None)
             }
             obs = obs.appendChild(TreeNode("Overgangsbestammelse",
@@ -606,6 +655,8 @@ object SfsParser {
           case StreckLista => bn = bn.appendChild(makeStrecksatslista())
           case StyckeH => bn = bn.appendChild(makeStycke(None))
           case ObH => bn = bn.appendChild(makeOvergangsbestammelse())
+          case UKapH => bn = bn.appendChild(makeUpphavtKapitel())
+          case UParH => bn = bn.appendChild(makeUpphavdParagraf())
         }
       }
       bn
@@ -625,6 +676,8 @@ object SfsParser {
         case BokstavLista => b = b.appendChild(makeBokstavslista())
         case StreckLista => b = b.appendChild(makeStrecksatslista())
         case AvdH => b = b.appendChild(makeAvdelning())
+        case UKapH => b = b.appendChild(makeUpphavtKapitel())
+        case UParH => b = b.appendChild(makeUpphavdParagraf())
         case ObsH => b = b.appendChild(makeOvergangsbestammelser(false))
         // bare bestämmelse with no separator: wrap with the placeholder
         // rubrik (sfs_parser.py:102-107)

@@ -127,6 +127,36 @@ class SfsParserSpec extends AnyFunSuite {
       .children.head.attr("ordinal").contains("2"))
   }
 
+  test("revoked stubs: upphävt kapitel and upphävd/renumbered paragraf") {
+    val text =
+      """1 kap. Inledning
+        |
+        |1 § Lagen gäller här.
+        |
+        |2 § Har upphävts genom lag (1990:1342).
+        |
+        |3 § Tredje regeln gäller fortfarande.
+        |
+        |2 kap. har upphävts genom lag (1998:204).
+        |
+        |3 kap. Fortsättning
+        |
+        |1 § Ny beteckning 2 § genom lag (2001:23).
+        |""".stripMargin
+    val got = SfsParser.parse(text)
+    val k1 = got.children.head
+    assert(k1.children.map(_.tag) ==
+      Vector("Paragraf", "UpphavdParagraf", "Paragraf"))
+    // the revoked stub advances current_section: 3 § still parses
+    assert(k1.children(1).attr("ordinal").contains("2"))
+    assert(k1.children(2).attr("ordinal").contains("3"))
+    assert(got.children.map(_.tag) ==
+      Vector("Kapitel", "UpphavtKapitel", "Kapitel"))
+    assert(got.children(1).attr("ordinal").contains("2"))
+    // the renumbering form is also a stub, not a live paragraf
+    assert(got.children(2).children.map(_.tag) == Vector("UpphavdParagraf"))
+  }
+
   test("tail structure: övergångsbestämmelser + bilaga (hand-derived)") {
     val text =
       """1 kap. Inledning
