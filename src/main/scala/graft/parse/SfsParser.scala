@@ -266,7 +266,11 @@ object SfsParser {
     /** idOfAvdelning (sfs_parser.py:586-620): the six styles of
       * division headings in Swedish law ("FÖRSTA AVDELNINGEN",
       * "AVD. I", "AVDELNING I.", "Avdelning I", "1 avd.", "Avd. 1";
-      * the single-letter 2010:110 style). */
+      * single letters where they are not valid roman numerals —
+      * A/B/E/F/G/H. The reference's C/D letter ordinals need its
+      * basefile == 2010:110 gate (sfs_parser.py:622-626), which a
+      * basefile-less parse cannot replicate: C and D convert as roman
+      * 100/500, the reference's own default for every other statute). */
     def idOfAvdelning(): Option[String] = {
       val p = reader.peekline()
       val parts = p.trim.split("\\s+")
@@ -284,7 +288,7 @@ object SfsParser {
         roman(parts(1)) // roman OR the 2010:110 single letters
       else if (p.startsWith("Avdelning ") && parts.length >= 2)
         roman(parts(1)).filter(_.forall(_.isDigit)) // roman only here
-      else if (p.length > 6 && p.substring(2, 6) == "avd." && p(0).isDigit)
+      else if (p.length >= 6 && p.substring(2, 6) == "avd." && p(0).isDigit)
         Some(p(0).toString)
       else if (p.startsWith("Avd. ") && parts.length >= 2 &&
                parts(1).forall(_.isDigit))
@@ -593,6 +597,9 @@ object SfsParser {
           case BokstavLista => ob = ob.appendChild(makeBokstavslista())
           case StreckLista => ob = ob.appendChild(makeStrecksatslista())
           case StyckeH => ob = ob.appendChild(makeStycke(None))
+          // division headings occur inside appendixes/provisions — the
+          // reference appends them generically (sfs_parser.py:459-464)
+          case AvdH => ob = ob.appendChild(makeAvdelning())
           case UKapH => ob = ob.appendChild(makeUpphavtKapitel())
           case UParH => ob = ob.appendChild(makeUpphavdParagraf())
         }
@@ -626,6 +633,7 @@ object SfsParser {
               case NumLista => makeNumreradLista()
               case BokstavLista => makeBokstavslista()
               case StreckLista => makeStrecksatslista()
+              case AvdH => makeAvdelning()
               case UKapH => makeUpphavtKapitel()
               case UParH => makeUpphavdParagraf()
               case _ => makeStycke(None)
@@ -655,6 +663,7 @@ object SfsParser {
           case StreckLista => bn = bn.appendChild(makeStrecksatslista())
           case StyckeH => bn = bn.appendChild(makeStycke(None))
           case ObH => bn = bn.appendChild(makeOvergangsbestammelse())
+          case AvdH => bn = bn.appendChild(makeAvdelning())
           case UKapH => bn = bn.appendChild(makeUpphavtKapitel())
           case UParH => bn = bn.appendChild(makeUpphavdParagraf())
         }

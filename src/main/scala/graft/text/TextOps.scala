@@ -208,14 +208,16 @@ object TextOps {
     val modelCounts = counts.groupBy("bg").agg(sum("c").as("cb"))
     val ctxCounts = modelCounts
       .groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum("cb").as("ca"))
-    // alphabet size for add-one smoothing: distinct successor chars —
-    // a scalar metadata probe, the model itself stays distributed
-    val v = modelCounts.select(countDistinct(substring(col("bg"), 2, 1)))
-      .first().getLong(0)
+    // alphabet size for add-one smoothing: a 1-row frame cross-joined
+    // into the model — keeps the whole query ONE lazy plan (an eager
+    // .first() here would execute the bigram explode twice)
+    val v = modelCounts
+      .agg(countDistinct(substring(col("bg"), 2, 1)).as("v"))
     val model = modelCounts
       .join(ctxCounts, substring(col("bg"), 1, 1) === col("a"))
+      .crossJoin(broadcast(v))
       .select(col("bg"),
-        round(-log((col("cb") + 1) / (col("ca") + v)) * 1e6)
+        round(-log((col("cb") + 1) / (col("ca") + col("v"))) * 1e6)
           .cast("long").as("lp_micro"))
     counts.join(broadcast(model), "bg")
       .groupBy("doc_id")

@@ -24,9 +24,13 @@ class LawDocSpec extends AnyFunSuite {
     val withTail = parsed.filter(_.bodyXml.contains("<Overgangsbestammelser"))
     assert(withTail.nonEmpty, "no law docs carry the obs tail")
     withTail.foreach { p =>
-      // amendment-id lines become sfsnr attributes, never mentions
+      // amendment-id lines become sfsnr attributes (bare-id match texts
+      // do occur legitimately in BODY citations like "lagen (1963:113)";
+      // a tail id leaking into the scan would be an extra mention not in
+      // the generator truth, which the P/R=1.0 test below rejects)
       assert(p.bodyXml.contains("sfsnr=\""))
-      assert(!p.mentions.exists(_.grammar.contains("Obs")))
+      assert(!p.bodyXml.contains("<Overgangsbestammelser></Overgangsbestammelser>"),
+        "tail containers must carry their bestämmelse children")
     }
     assert(parsed.exists(_.bodyXml.contains("<Bilaga")),
       "no law docs carry a bilaga")
