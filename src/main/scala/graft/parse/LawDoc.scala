@@ -64,7 +64,7 @@ object LawDoc {
     val body = if (headSplit.length > 1) headSplit(1) else ""
 
     // ---- structure (SfsParser: Forfattning → Kapitel → Paragraf → Stycke)
-    val tree = SfsParser.parse(body)
+    val tree = SfsParser.parse(body, Some(ownId))
 
     // ---- per-document stateful citation parsers (document order)
     val uriBase = s"${EntityDict.base}/"

@@ -160,7 +160,12 @@ object SfsParser {
   private val RomanNumeral = Pattern.compile(
     "^M?M?M?(CM|CD|D?C?C?C?)(XC|XL|L?X?X?X?)(IX|IV|V?I?I?I?)$")
 
-  def parse(text: String): TreeNode = {
+  def parse(text: String): TreeNode = parse(text, None)
+
+  /** `basefile`: the document's own SFS number — the assumed sfsnr for
+    * initial un-keyed transitional provisions (sfs_parser.py:437-447
+    * falls back to state['basefile']); "0000:000" without one. */
+  def parse(text: String, basefile: Option[String]): TreeNode = {
     val reader = new Reader(text)
     val st = new St
 
@@ -223,7 +228,12 @@ object SfsParser {
       Bokstavslista.matcher(p).find()
 
     def isRubrik(p: String, indirect: Boolean): Boolean = {
-      if (p.isEmpty || (p.head.isLower && p.head.isLetter)) return false
+      // an EMPTY next paragraph passes every check in the reference's
+      // indirect recursion (the followed-by test is skipped when
+      // indirect), so a document-FINAL headline is a rubrik
+      // (sfs_parser.py:743-830 on '' returns True when indirect)
+      if (p.isEmpty) return indirect
+      if (p.head.isLower && p.head.isLetter) return false
       if (p.startsWith("/Rubriken")) return false
       if (p.length > 135) return false
       if (isParagraf(p) || isNumreradLista(p) || isStrecksatslista(p))
@@ -314,12 +324,26 @@ object SfsParser {
       * paragraf is an ordinary headline, not the tail separator. (The
       * reference's difflib 0.9 fuzzy heading match is skipped — it only
       * warns on typos in real gazette text.) */
-    val obSeparators = Set("Övergångsbestämmelser",
+    val obSeparators = Seq("Övergångsbestämmelser",
       "Ikraftträdande- och övergångsbestämmelser",
       "Övergångs- och ikraftträdandebestämmelser")
-    def isObs(line: String): Boolean =
-      obSeparators.contains(line.trim) &&
+    // difflib.get_close_matches(l, separators, 1, 0.9): a misspelled
+    // heading within ratio 0.9 still separates (2*LCS/(m+n) stands in
+    // for SequenceMatcher.ratio — same decisions at this cutoff)
+    def lcsRatio(a: String, b: String): Double = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      2.0 * dp(a.length)(b.length) / (a.length + b.length)
+    }
+    def isObs(line: String): Boolean = {
+      val l = line.trim
+      (obSeparators.contains(l) ||
+        obSeparators.exists(sep => lcsRatio(l, sep) >= 0.9)) &&
         !isParagraf(normalize(reader.peekparagraph(2)))
+    }
 
     /** isBilaga (sfs_parser.py:1268-1276), minus the andringsDatum strip
       * (temporal markers scoped out). */
@@ -639,7 +663,8 @@ object SfsParser {
               case _ => makeStycke(None)
             }
             obs = obs.appendChild(TreeNode("Overgangsbestammelse",
-              Vector("sfsnr" -> "0000:000")).appendChild(res))
+              Vector("sfsnr" -> basefile.getOrElse("0000:000")))
+              .appendChild(res))
         }
       }
       obs
