@@ -58,11 +58,15 @@ import java.util.regex.Pattern
   * "har upphävts genom lag (…)" markers, the section form also
   * advancing current_section).
   *
+  * Also kept: the /Upphör…/-/Träder i kraft…/ temporal annotations
+  * (andringsDatum, sfs_parser.py:24-44, 488-517): upphor/ikrafttrader
+  * attributes on Forfattning/Kapitel/Rubrik/Paragraf/Bilaga in the
+  * reference's serialized value forms, the rubrik-level-raise gate for
+  * marked headlines, and the re-enacted 1 kap. 1 § fake-chapter reset.
+  *
   * Scoped out (cited): Underavdelning (the reference gates it to
-  * exactly two statutes, sfs_parser.py:573-581), tabeller, and the
-  * /Upphör…/-/Träder i kraft…/ temporal annotations (andringsDatum) —
-  * the corpus statutes are consolidated text without in-force markers
-  * (sfs_parser.py:489-517, 894-1199 document those branches).
+  * exactly two statutes, sfs_parser.py:573-581) and tabeller
+  * (sfs_parser.py:894-1199, the column-inference heuristics).
   *
   * Pure per-row logic: one [[parse]] call per document inside a Dataset
   * map stage — no Spark types, no shared state.
@@ -85,6 +89,57 @@ object SfsParser {
   private val SectionRevoked = Pattern.compile(
     "^(\\d+ ?\\w?) §[ .]([Hh]ar upphävts|[Nn]y beteckning (\\d+ ?\\w?) §) " +
     "genom ([Ff]örordning|[Ll]ag) \\([\\d:. s]+\\)\\.$")
+  // /Upphör att gälla U:…/ and /Träder i kraft I:…/ temporal markers
+  // (sfs_parser.py:24-44, translated verbatim — including the stray
+  // empty alternative in re_EntryIntoForceDate)
+  private val RevokeDate = Pattern.compile(
+    "/(?:Rubriken u|Kapitlet u|U)pphör att gälla U:(\\d+)-(\\d+)-(\\d+)" +
+    "(?: genom lag \\(\\d{4}:\\d+\\).|)/")
+  private val RevokeAuth = Pattern.compile(
+    "/(?:Kapitlet u|U)pphör att gälla U:(den dag (?:som |)regeringen " +
+    "bestämmer)(?: genom lag \\(\\d{4}:\\d+\\).|)/")
+  private val ForceDate = Pattern.compile(
+    "/(?:Rubriken t||Kapitlet t|T)räder i kraft I:(\\d+)-(\\d+)-(\\d+)" +
+    "(?: genom lag \\(\\d{4}:\\d+\\).|)/")
+  private val ForceAuth = Pattern.compile(
+    "/(?:Kapitlet t|T)räder i kraft I:(den dag (?:som |)regeringen " +
+    "bestämmer)(?: genom lag \\(\\d{4}:\\d+\\).|)/")
+
+  /** andringsDatum (sfs_parser.py:488-517): extract the temporal
+    * markers from a line/paragraph, returning the stripped text plus
+    * the upphor/ikrafttrader values in the reference's SERIALIZED form
+    * (python datetime repr for dates, the "den dag regeringen
+    * bestämmer" authorization phrase verbatim). An invalid date leaves
+    * the line unaffected, as the reference's ValueError branch does. */
+  def andringsDatum(line0: String, matchStart: Boolean = false)
+      : (String, Option[String], Option[String]) = {
+    var line = line0
+    var upphor: Option[String] = None
+    var ikraft: Option[String] = None
+    def extract(re: Pattern, isUpphor: Boolean): Unit = {
+      val m = re.matcher(line)
+      if (if (matchStart) m.lookingAt() else m.find()) {
+        val value =
+          if (m.groupCount() == 3) {
+            try {
+              java.time.LocalDate.of(m.group(1).toInt, m.group(2).toInt,
+                m.group(3).toInt)
+              Some(s"datetime.datetime(${m.group(1).toInt}, " +
+                s"${m.group(2).toInt}, ${m.group(3).toInt}, 0, 0)")
+            } catch { case _: RuntimeException => None }
+          } else Some(m.group(1))
+        value.foreach { v =>
+          if (isUpphor) upphor = Some(v) else ikraft = Some(v)
+          line = re.matcher(line).replaceAll("")
+        }
+      }
+    }
+    extract(RevokeDate, isUpphor = true)
+    extract(RevokeAuth, isUpphor = true)
+    extract(ForceDate, isUpphor = false)
+    extract(ForceAuth, isUpphor = false)
+    (line.trim, upphor, ikraft)
+  }
 
   /** util.numcmp over "2 a"-style ordinals: split into digit/non-digit
     * runs, compare pairwise (numbers numerically). */
@@ -171,7 +226,7 @@ object SfsParser {
 
     // ---- recognizers -----------------------------------------------
     def idOfKapitel(p0: String): Option[String] = {
-      val p = p0.replace("\n", " ")
+      val p = andringsDatum(p0.replace("\n", " "))._1 // sfs_parser.py:678
       val m = ChapterId.matcher(p)
       if (!m.find()) return None
       // false-positive filters (sfs_parser.py:686-731)
@@ -249,9 +304,11 @@ object SfsParser {
         val nextp = normalize(reader.peekparagraph(2))
         if (!isParagraf(nextp) && !isRubrik(nextp, indirect = true))
           return false
-        // rubrik followed by rubrik ⇒ followers are sub-headlines
-        // (sfs_parser.py:822-828)
-        if (isRubrik(nextp, indirect = true)) st.headlineLevel = 1
+        // rubrik followed by rubrik ⇒ followers are sub-headlines —
+        // unless THIS rubrik carries a temporal marker
+        // (sfs_parser.py:820-828: andringsDatum(p)[0] == p gate)
+        if (isRubrik(nextp, indirect = true) && andringsDatum(p)._1 == p)
+          st.headlineLevel = 1
       }
       true
     }
@@ -348,7 +405,8 @@ object SfsParser {
     /** isBilaga (sfs_parser.py:1268-1276), minus the andringsDatum strip
       * (temporal markers scoped out). */
     def isBilaga(line: String): Boolean = {
-      val l = line.replace(" /Bilagan är inte med här/", "").trim
+      val l = andringsDatum(line)._1
+        .replace(" /Bilagan är inte med här/", "").trim
       Set("Bilaga", "Bilaga*", "Bilaga *", "Bilaga 1", "Bilaga 2",
         "Bilaga 2 a", "Bilaga 3", "Bilaga 4", "Bilaga 5",
         "Bilaga 6")(l)
@@ -479,8 +537,17 @@ object SfsParser {
           if (mo.find()) n0.substring(mo.end()).trim else n0
         }
       }
-      var p = TreeNode("Paragraf", Vector("ordinal" -> ordinal))
-        .appendChild(makeStycke(Some(stripped)))
+      // temporal markers on the opening line (sfs_parser.py:257-272) —
+      // simplification vs the reference: extracted from the normalized
+      // paragraph rather than strictly the first line (markers only
+      // ever open a paragraf in the fixture corpus)
+      val (fixed0, upphor, ikraft) = andringsDatum(stripped)
+      val fixed = normalize(fixed0)
+      if (ikraft.isDefined && ordinal == "1" && st.currentChapter == "1")
+        st.fakeChapter = "0" // re-enacted 1 kap. 1 § TOC (sfs_parser.py:266-271)
+      var p = TreeNode("Paragraf", Vector("ordinal" -> ordinal) ++
+          upphor.map("upphor" -> _) ++ ikraft.map("ikrafttrader" -> _))
+        .appendChild(makeStycke(Some(fixed)))
       var go = true
       while (go && !reader.eof) {
         guess() match {
@@ -503,25 +570,32 @@ object SfsParser {
     }
 
     def makeRubrik(): TreeNode = {
-      val line = normalize(reader.readparagraph())
-      val attrs =
+      val (line0, upphor, ikraft) =
+        andringsDatum(normalize(reader.readparagraph()))
+      val line = normalize(line0)
+      val levelAttrs =
         if (st.headlineLevel == 2) Vector("type" -> "underrubrik")
         else {
           if (st.headlineLevel == 1) st.headlineLevel = 2
           Vector.empty[(String, String)]
         }
+      val attrs = levelAttrs ++
+        upphor.map("upphor" -> _) ++ ikraft.map("ikrafttrader" -> _)
       TreeNode("Rubrik", attrs, text = Some(line))
     }
 
     def makeKapitel(): TreeNode = {
-      val para = normalize(reader.readparagraph())
-      val ordinal = idOfKapitel(para).get
+      val para0 = normalize(reader.readparagraph())
+      val ordinal = idOfKapitel(para0).get
+      val (paraStripped, upphor, ikraft) = andringsDatum(para0)
+      val para = normalize(paraStripped) // re-collapse the marker gap
       st.headlineLevel = 0
       st.currentSection = "0"
       st.fakeChapter = "0"
       st.currentChapter = ordinal
       var k = TreeNode("Kapitel",
-        Vector("ordinal" -> ordinal, "rubrik" -> para))
+        Vector("ordinal" -> ordinal, "rubrik" -> para) ++
+          upphor.map("upphor" -> _) ++ ikraft.map("ikrafttrader" -> _))
       var go = true
       while (go && !reader.eof) {
         guess() match {
@@ -672,9 +746,12 @@ object SfsParser {
 
     /** makeBilaga (sfs_parser.py:468-487), minus andringsDatum. */
     def makeBilaga(): TreeNode = {
-      val rubrik = normalize(reader.readparagraph())
-        .replace(" /Bilagan är inte med här/", "")
-      var bn = TreeNode("Bilaga", Vector("rubrik" -> rubrik))
+      val (rubrik0, upphor, ikraft) =
+        andringsDatum(normalize(reader.readparagraph()))
+      val rubrik = normalize(rubrik0)
+      var bn = TreeNode("Bilaga",
+        Vector("rubrik" -> rubrik.replace(" /Bilagan är inte med här/", ""))
+          ++ upphor.map("upphor" -> _) ++ ikraft.map("ikrafttrader" -> _))
       var go = true
       while (go && !reader.eof) {
         guess() match {
@@ -696,8 +773,19 @@ object SfsParser {
       bn
     }
 
-    // ---- makeForfattning (sfs_parser.py:83-111)
-    var b = TreeNode("Forfattning")
+    // ---- makeForfattning (sfs_parser.py:83-111): a leading
+    // /Träder i kraft I:…/ line marks the whole statute
+    var b = {
+      while (!reader.eof && reader.peekline().trim.isEmpty)
+        reader.readline()
+      val first = if (reader.eof) "" else reader.peekline()
+      andringsDatum(first)._3 match {
+        case Some(v) =>
+          reader.readline()
+          TreeNode("Forfattning", Vector("ikrafttrader" -> v))
+        case None => TreeNode("Forfattning")
+      }
+    }
     while (!reader.eof) {
       guess() match {
         case Blank => reader.readline()

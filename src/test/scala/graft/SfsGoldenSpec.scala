@@ -18,8 +18,7 @@ import java.nio.file.Files
   *    find_definitions + lagrum_parser over lagen.nu's URISpace on top
   *    of the structure parse; those surfaces are covered separately
   *    (LawRefGoldenSpec for citations, LawDoc for the mention path);
-  *  - `<Tabell` fixtures and andringsDatum temporal attrs
-  *    (upphor=/ikrafttrader=) are the two cited SfsParser scope-outs;
+  *  - `<Tabell` fixtures are the remaining cited SfsParser scope-out;
   *  - `id` attributes are stripped from the expected trees: the
   *    construct_id pass is URI minting, covered by LawDoc/Coin.
   *
@@ -62,14 +61,13 @@ class SfsGoldenSpec extends AnyFunSuite {
         else {
           val x = new String(Files.readAllBytes(xml.toPath), "UTF-8")
           val inScope = !x.contains("<Link") && !x.contains("Begrepp") &&
-            !x.contains("<Tabell") && !x.contains("upphor=") &&
-            !x.contains("ikrafttrader=")
+            !x.contains("<Tabell")
           if (inScope) Some((txt, xml)) else None
         }
       }.toSeq
 
   test("the structure-only fixture set is substantial") {
-    assert(fixtures.length >= 40, fixtures.map(_._1.getName).toString)
+    assert(fixtures.length >= 48, fixtures.map(_._1.getName).toString)
   }
 
   fixtures.foreach { case (txt, xml) =>
