@@ -160,39 +160,99 @@ object SfsParser {
   private def normalize(s: String): String =
     s.trim.replaceAll("[\\s\\u00a0]+", " ")
 
-  /** Line/paragraph reader over the statute text (the reference's
-    * TextReader surface used by sfs_parser: peekline/peekparagraph(n)/
-    * readline/readparagraph). */
+  /** Chunk-based reader emulating the reference's TextReader
+    * (/root/reference/ferenda/textreader.py:84-226): delimiter-find chunk
+    * reads over the RAW text, each returned chunk run through __process —
+    * optional whole-chunk strip (the `autostrip` toggle that makeTabell
+    * flips OFF so column whitespace survives, sfs_parser.py:1049-1051)
+    * followed by expandtabs(8) (textreader.py:61 — expandtabs defaults
+    * true). linesep is "\n"; callers normalize CRLF before parsing, which
+    * is equivalent to the harness's linesep=DOS (a whitespace-only line
+    * is NOT a paragraph boundary in either form). Past-EOF peeks return
+    * "" where the reference raises IOError — every reference call site
+    * catches that IOError into ''/eof. */
   final class Reader(text: String) {
-    private val lines = text.split("\n", -1)
-    private val lastContent = lines.lastIndexWhere(_.trim.nonEmpty)
-    private var pos = 0
-    def eof: Boolean = pos > lastContent
-    def peekline(n: Int = 1): String =
-      if (pos + n - 1 < lines.length) lines(pos + n - 1) else ""
-    def readline(): String = { val l = peekline(); pos += 1; l }
-    /** nth upcoming paragraph (1-based), skipping leading blank lines. */
-    def peekparagraph(n: Int = 1): String = {
-      var p = pos
-      var remaining = n
-      while (remaining > 0) {
-        while (p < lines.length && lines(p).trim.isEmpty) p += 1
-        if (p >= lines.length) return ""
-        val start = p
-        while (p < lines.length && lines(p).trim.nonEmpty) p += 1
-        remaining -= 1
-        if (remaining == 0)
-          return lines.slice(start, p).mkString("\n")
-      }
-      ""
+    val linesep = "\n"
+    var autostrip = false
+    private val data = text
+    private val maxpos = data.length
+    private var currpos = 0
+
+    // python str.strip(): unicode whitespace incl. NBSP/NEL
+    private def pyStrip(s: String): String = {
+      def ws(c: Char) =
+        Character.isWhitespace(c) || c == ' ' || c == ''
+      var i = 0; var j = s.length
+      while (i < j && ws(s(i))) i += 1
+      while (j > i && ws(s(j - 1))) j -= 1
+      s.substring(i, j)
     }
-    /** Read the current paragraph (content lines only; separator blanks
-      * stay for the blankline handler, as in guess_state). */
+    // python str.expandtabs(8): column resets after \n and \r
+    private def expandTabs(s: String): String =
+      if (s.indexOf('\t') < 0) s
+      else {
+        val sb = new StringBuilder
+        var col = 0
+        s.foreach {
+          case '\t' =>
+            val pad = 8 - (col % 8)
+            sb.append(" " * pad); col += pad
+          case c @ ('\n' | '\r') => sb.append(c); col = 0
+          case c => sb.append(c); col += 1
+        }
+        sb.toString
+      }
+    private def process(s: String): String =
+      expandTabs(if (autostrip) pyStrip(s) else s)
+
+    /** __find (textreader.py:84-92): chunk up to delimiter. */
+    private def find(delim: String, start: Int): (String, Int) = {
+      val idx = data.indexOf(delim, start)
+      if (idx == -1) {
+        val res = data.substring(start)
+        (res, start + res.length)
+      } else (data.substring(start, idx), idx + delim.length)
+    }
+
+    def eof: Boolean = currpos == maxpos
+
+    def peek(size: Int): String =
+      process(data.substring(currpos, math.min(currpos + size, maxpos)))
+
+    def readchunk(delim: String): String = {
+      val (res, np) = find(delim, currpos)
+      currpos = np
+      process(res)
+    }
+    def readline(): String = readchunk(linesep)
+    /** readparagraph (textreader.py:159-172). Under autostrip the
+      * leading/trailing-newline consume loops never fire (peek returns
+      * the PROCESSED probe, stripped to "") — exactly as in python. */
     def readparagraph(): String = {
-      while (pos < lines.length && lines(pos).trim.isEmpty) pos += 1
-      val start = pos
-      while (pos < lines.length && lines(pos).trim.nonEmpty) pos += 1
-      lines.slice(start, pos).mkString("\n")
+      while (peek(linesep.length) == linesep) currpos += linesep.length
+      val res = readchunk(linesep * 2)
+      while (peek(linesep.length) == linesep) currpos += linesep.length
+      res
+    }
+    /** peekchunk (textreader.py:216-226); "" stands in for IOError. */
+    def peekchunk(delim: String, times: Int): String = {
+      var oldpos = currpos
+      var res = ""
+      var i = 0
+      while (i < times) {
+        val (r, np) = find(delim, oldpos)
+        if (np == oldpos) return ""
+        res = r; oldpos = np; i += 1
+      }
+      process(res)
+    }
+    def peekline(n: Int = 1): String = peekchunk(linesep, n)
+    def peekparagraph(n: Int = 1): String = {
+      val startpos = currpos
+      while (peek(linesep.length) == linesep) currpos += linesep.length
+      val res = peekchunk(linesep * 2, n)
+      currpos = startpos
+      res
     }
   }
 
