@@ -64,9 +64,19 @@ import java.util.regex.Pattern
   * reference's serialized value forms, the rubrik-level-raise gate for
   * marked headlines, and the re-enacted 1 kap. 1 § fake-chapter reset.
   *
+  * Also kept: tabeller (sfs_parser.py:894-1199) — the column-inference
+  * table parser: isTabell's paragraph-shape heuristics (all-short-lines /
+  * all-column-split / short-or-split, with the paragraf/rubrik/tail
+  * exceptions and the snedformatterad-row prefix cut), makeTabellrad's
+  * tabstop state machine (two-space cell boundaries, the seven-char
+  * tabstop tolerance with ghost-column advance, singlelinemode for
+  * row-per-line tables, the empty-left-cell carry), dehyphenation
+  * (re_dehyphenate, sfs_parser.py:47 — "- " joined except before
+  * och/eller), and makeTabell's autostrip-off reading plus the
+  * /Upphör…/-/Träder i kraft…/ per-row temporal attribution counter.
+  *
   * Scoped out (cited): Underavdelning (the reference gates it to
-  * exactly two statutes, sfs_parser.py:573-581) and tabeller
-  * (sfs_parser.py:894-1199, the column-inference heuristics).
+  * exactly two statutes, sfs_parser.py:573-581).
   *
   * Pure per-row logic: one [[parse]] call per document inside a Dataset
   * map stage — no Spark types, no shared state.
@@ -83,6 +93,11 @@ object SfsParser {
   private val Strecksatslista = Pattern.compile("^(- | |– |--)")
   private val ChangeNote = Pattern.compile("(Lag|Förordning) \\(\\d{4}:\\d+\\)\\.?$")
   private val SimpleSfsId = Pattern.compile("^(\\d{4}:\\d+)\\s*$")
+  // re_dehyphenate (sfs_parser.py:47): join "xxx- yyy" unless the
+  // continuation is och/eller; UNICODE_CHARACTER_CLASS so \b treats
+  // å/ä/ö as word chars like python re.UNICODE
+  private val Dehyphenate = Pattern.compile("\\b- (?!(och|eller))",
+    Pattern.UNICODE_CHARACTER_CLASS)
   private val ChapterRevoked = Pattern.compile(
     "^(\\d+( \\w|)) [Kk]ap\\. (upphävd|[Hh]ar upphävts) genom " +
     "(förordning|lag) \\([\\d:. s]+\\)\\.?$")
@@ -282,6 +297,7 @@ object SfsParser {
     * falls back to state['basefile']); "0000:000" without one. */
   def parse(text: String, basefile: Option[String]): TreeNode = {
     val reader = new Reader(text)
+    reader.autostrip = true // sfs.py:1116 (reader.autostrip = True)
     val st = new St
 
     // ---- recognizers -----------------------------------------------
@@ -337,6 +353,7 @@ object SfsParser {
 
     def isNumreradLista(p: String): Boolean =
       DottedNumber.matcher(p).find() || NumberRightPara.matcher(p).find()
+
     def isStrecksatslista(p: String): Boolean =
       Strecksatslista.matcher(p).find()
     def isBokstavslista(p: String): Boolean =
@@ -382,6 +399,7 @@ object SfsParser {
     case object BokstavLista extends Handler
     case object Rub extends Handler
     case object StyckeH extends Handler
+    case object TabH extends Handler   // tabell (column-split rows)
     case object AvdH extends Handler   // avdelning (division) heading
     case object UKapH extends Handler  // revoked chapter stub line
     case object UParH extends Handler  // revoked/renumbered section stub
@@ -472,6 +490,63 @@ object SfsParser {
         "Bilaga 6")(l)
     }
 
+    /** isTabell (sfs_parser.py:894-1040): does this paragraph look like
+      * table row(s)? Exact port, including the snedformatterad prefix
+      * cut (only the lines before an indented→unindented transition are
+      * judged), the three acceptance rules (all lines short / all lines
+      * column-split / all short-or-split), the all-short exceptions
+      * (looks like a paragraf; first-row-left-cell-only must be followed
+      * by a genuinely column-split row; single-line rows backing off to
+      * a following paragraf, rubrik+paragraf, or the document tail), and
+      * the leaked-loop-variable single-line three-space check at the
+      * end (the reference's `'   ' in l` reads the LAST line of the raw
+      * split, not lines[0] — kept verbatim). */
+    def isTabell(p: String, assumeTable: Boolean,
+                 requireColumns: Boolean): Boolean = {
+      val shortline = 55
+      val shorterline = 52
+      val allLines = p.split(reader.linesep, -1)
+      val lines = Vector.newBuilder[String]
+      var emptyleft = false
+      var leakedL = ""
+      var broke = false
+      val it = allLines.iterator
+      while (it.hasNext && !broke) {
+        val l = it.next()
+        leakedL = l
+        if (l.startsWith(" ")) { emptyleft = true; lines += l }
+        else if (emptyleft) broke = true
+        else lines += l
+      }
+      val ls = lines.result()
+      val numlines = ls.length
+      if ((assumeTable || numlines > 1) && !requireColumns) {
+        if (numlines == 1 && ls(0).contains("  ")) return true
+        if (ls.count(_.length < shortline) == numlines) {
+          // exception: no column split and looks like a new paragraf
+          if (!ls(0).contains("  ") && isParagraf(p)) return false
+          val p2 = reader.peekparagraph(2)
+          val p3 = reader.peekparagraph(3)
+          if (!assumeTable &&
+              !isTabell(p2, assumeTable = true, requireColumns = true))
+            return false
+          else if (numlines == 1) {
+            if (isParagraf(p2)) return false
+            if (isRubrik(p2, indirect = true) && isParagraf(p3)) return false
+            if (isObs(reader.peekline())) return false
+            if (isBilaga(reader.peekline())) return false
+          }
+          return true
+        }
+      }
+      if (numlines > 1 && ls.count(_.contains("  ")) == numlines) return true
+      if ((assumeTable || numlines > 1) && !requireColumns &&
+          ls.count(l => l.contains("  ") || l.length < shorterline) == numlines)
+        return true
+      if (numlines == 1 && leakedL.contains("   ")) return true
+      false
+    }
+
     /** guess_state (sfs_parser.py:519-557), in the reference's order. */
     def guess(): Handler = {
       if (reader.eof) Eof
@@ -486,6 +561,10 @@ object SfsParser {
         else if (SectionRevoked.matcher(line).matches()) UParH
         else if (isKapitel(para)) Kap
         else if (isParagraf(para)) Par
+        // tabell outranks the tail separators and every list form
+        // (guess_state, sfs_parser.py:536-537)
+        else if (isTabell(reader.peekparagraph(), assumeTable = false,
+                          requireColumns = false)) TabH
         else if (isObs(line)) ObsH
         else if (SimpleSfsId.matcher(line).find()) ObH
         else if (isBilaga(line)) BilagaH
@@ -566,6 +645,162 @@ object SfsParser {
       n
     }
 
+    /** makeTabellcell (sfs_parser.py:1087-1090): dehyphenate (unless the
+      * text is a single char) and normalize. An empty cell carries no
+      * <str> child (the reference's empty-string child serializes to
+      * nothing). */
+    def makeTabellcell(text0: String): TreeNode = {
+      val text =
+        if (text0.length > 1) Dehyphenate.matcher(text0).replaceAll("")
+        else text0
+      val t = normalize(text)
+      if (t.isEmpty) TreeNode("Tabellcell")
+      else TreeNode("Tabellcell").appendText(t)
+    }
+
+    /** python slice semantics: clamped, empty when end <= start. */
+    def pySlice(s: String, a: Int, b: Int): String = {
+      val hi = math.max(0, math.min(b, s.length))
+      val lo = math.max(0, math.min(a, s.length))
+      if (hi <= lo) "" else s.substring(lo, hi)
+    }
+
+    /** makeTabellrad (sfs_parser.py:1083-1199): split one raw (autostrip
+      * OFF) paragraph into table rows and cells. Cell boundaries are runs
+      * of 2+ spaces; tabstops learned from the first row persist across
+      * the table (statictabstops), with a seven-char tolerance before a
+      * short left cell is pushed into the NEXT column (the tomma-
+      * vansterceller case); singlelinemode (every line starts upper/digit)
+      * makes each physical line its own row; an indented→unindented
+      * transition starts a new row (snedformatterade tabellrader). The
+      * growth quirks of the original (tabstops/cols extended ONE slot
+      * whenever len(tabstops) <= charcount) are kept verbatim — they are
+      * load-bearing for column counts on wide rows. */
+    def makeTabellrad(p: String,
+                      tabstops0: Option[scala.collection.mutable.ArrayBuffer[Int]],
+                      kwargs: Vector[(String, String)])
+        : (Vector[TreeNode], scala.collection.mutable.ArrayBuffer[Int]) = {
+      import scala.collection.mutable.ArrayBuffer
+      var cols = ArrayBuffer.fill(8)("")
+      val statictabstops = tabstops0.isDefined
+      val tabstops = tabstops0.getOrElse(ArrayBuffer.fill(8)(0))
+      val lines = p.split(reader.linesep, -1)
+      val numlines = lines.count(_.nonEmpty)
+      val potentialrows =
+        lines.count(x => x.nonEmpty && (x(0).isUpper || x(0).isDigit))
+      var linecount = 0
+      val singlelinemode = numlines > 1 && numlines == potentialrows
+
+      val rows = ArrayBuffer[ArrayBuffer[String]]()
+      var emptyleft = false
+      for (l <- lines if l.nonEmpty) {
+        linecount += 1
+        var charcount = 0
+        var spacecount = 0
+        var lasttab = 0
+        var colcount = 0
+        if (singlelinemode) cols = ArrayBuffer.fill(8)("")
+        if (l(0) == ' ') emptyleft = true
+        else if (emptyleft) {
+          // new row because of skewed formatting (sfs_parser.py:1125-1129)
+          rows += cols
+          cols = ArrayBuffer.fill(8)("")
+          emptyleft = false
+        }
+        for (c <- l) {
+          charcount += 1
+          if (c == ' ') spacecount += 1
+          else {
+            if (spacecount > 1) { // new cell — flush the previous one
+              cols(colcount) += "\n" + pySlice(l, lasttab,
+                charcount - (spacecount + 1))
+              lasttab = charcount - 1
+              // empty-left-cell handling: a boundary more than seven
+              // chars past the learned tabstop belongs to a later column
+              if (linecount > 1 || statictabstops) {
+                if (tabstops(colcount + 1) + 7 < charcount) {
+                  if (tabstops.length <= colcount + 2) {
+                    tabstops += 0; cols += ""
+                  }
+                  if (tabstops(colcount + 2) != 0) colcount += 1
+                }
+              }
+              colcount += 1
+              if (tabstops.length <= charcount) { tabstops += 0; cols += "" }
+              tabstops(colcount) = charcount
+            }
+            spacecount = 0
+          }
+        }
+        cols(colcount) += "\n" + pySlice(l, lasttab, charcount)
+        if (singlelinemode) rows += cols
+      }
+      if (!singlelinemode) rows += cols
+
+      val res = rows.toVector.map { r =>
+        var tr = TreeNode("Tabellrad", kwargs)
+        var emptyok = true
+        for (c <- r) {
+          if (c.nonEmpty || emptyok) {
+            tr = tr.appendChild(makeTabellcell(c.replace("\n", " ")))
+            if (normalize(c).nonEmpty) emptyok = false
+          }
+        }
+        tr
+      }
+      (res, tabstops)
+    }
+
+    /** makeTabell (sfs_parser.py:1042-1081): read consecutive table-row
+      * paragraphs with autostrip OFF (so column whitespace survives),
+      * threading the learned tabstops through every row; /Upphör…/ and
+      * /Träder i kraft…/ marker lines attribute the following rows via
+      * the pcnt sign counter, exactly as in the original. */
+    def makeTabell(): TreeNode = {
+      var pcnt = 0
+      var t = TreeNode("Tabell")
+      val savedAutostrip = reader.autostrip
+      reader.autostrip = false
+      val first = reader.readparagraph()
+      var (trs, tabstops) = makeTabellrad(first, None, Vector.empty)
+      trs.foreach(r => t = t.appendChild(r))
+      var currentUpphor: Option[String] = None
+      var currentIkraft: Option[String] = None
+      var go = true
+      while (go && !reader.eof) {
+        val (_, upphor, ikraft) =
+          andringsDatum(reader.peekline(), matchStart = true)
+        if (upphor.isDefined) {
+          currentUpphor = upphor
+          reader.readline()
+          pcnt = 1
+        } else if (ikraft.isDefined) {
+          currentIkraft = ikraft
+          currentUpphor = None
+          reader.readline()
+          pcnt = -pcnt + 1
+        } else if (isTabell(reader.peekparagraph(), assumeTable = true,
+                            requireColumns = false)) {
+          var kwargs = Vector.empty[(String, String)]
+          if (pcnt > 0) {
+            kwargs ++= currentUpphor.map("upphor" -> _)
+            pcnt += 1
+          } else if (pcnt < 0) {
+            kwargs ++= currentIkraft.map("ikrafttrader" -> _)
+            pcnt += 1
+          } else currentIkraft = None
+          val p = reader.readparagraph()
+          if (p.nonEmpty) {
+            val (trs2, ts2) = makeTabellrad(p, Some(tabstops), kwargs)
+            tabstops = ts2
+            trs2.foreach(r => t = t.appendChild(r))
+          }
+        } else go = false
+      }
+      reader.autostrip = savedAutostrip
+      t
+    }
+
     def makeStycke(initial: Option[String]): TreeNode = {
       var s = TreeNode("Stycke")
         .appendText(initial.getOrElse(normalize(reader.readparagraph())))
@@ -576,6 +811,8 @@ object SfsParser {
           case NumLista => s = s.appendChild(makeNumreradLista())
           case BokstavLista => s = s.appendChild(makeBokstavslista())
           case StreckLista => s = s.appendChild(makeStrecksatslista())
+          // tables attach inside the stycke (sfs_parser.py:317-325)
+          case TabH => s = s.appendChild(makeTabell())
           case _ => go = false
         }
       }
@@ -670,9 +907,10 @@ object SfsParser {
           case NumLista => k = k.appendChild(makeNumreradLista())
           case BokstavLista => k = k.appendChild(makeBokstavslista())
           case StreckLista => k = k.appendChild(makeStrecksatslista())
-          // a bare bestämmelse inside a kapitel takes the generic
-          // append branch in the reference (sfs_parser.py:206-209)
+          // a bare bestämmelse or a table inside a kapitel takes the
+          // generic append branch in the reference (sfs_parser.py:206-209)
           case ObH => k = k.appendChild(makeOvergangsbestammelse())
+          case TabH => k = k.appendChild(makeTabell())
         }
       }
       k
@@ -728,6 +966,7 @@ object SfsParser {
           case StreckLista => av = av.appendChild(makeStrecksatslista())
           case StyckeH => av = av.appendChild(makeStycke(None))
           case ObH => av = av.appendChild(makeOvergangsbestammelse())
+          case TabH => av = av.appendChild(makeTabell())
           case UKapH => av = av.appendChild(makeUpphavtKapitel())
           case UParH => av = av.appendChild(makeUpphavdParagraf())
         }
@@ -758,6 +997,7 @@ object SfsParser {
           // division headings occur inside appendixes/provisions — the
           // reference appends them generically (sfs_parser.py:459-464)
           case AvdH => ob = ob.appendChild(makeAvdelning())
+          case TabH => ob = ob.appendChild(makeTabell())
           case UKapH => ob = ob.appendChild(makeUpphavtKapitel())
           case UParH => ob = ob.appendChild(makeUpphavdParagraf())
         }
@@ -792,6 +1032,7 @@ object SfsParser {
               case BokstavLista => makeBokstavslista()
               case StreckLista => makeStrecksatslista()
               case AvdH => makeAvdelning()
+              case TabH => makeTabell()
               case UKapH => makeUpphavtKapitel()
               case UParH => makeUpphavdParagraf()
               case _ => makeStycke(None)
@@ -825,6 +1066,7 @@ object SfsParser {
           case StreckLista => bn = bn.appendChild(makeStrecksatslista())
           case StyckeH => bn = bn.appendChild(makeStycke(None))
           case ObH => bn = bn.appendChild(makeOvergangsbestammelse())
+          case TabH => bn = bn.appendChild(makeTabell())
           case AvdH => bn = bn.appendChild(makeAvdelning())
           case UKapH => bn = bn.appendChild(makeUpphavtKapitel())
           case UParH => bn = bn.appendChild(makeUpphavdParagraf())
@@ -854,6 +1096,7 @@ object SfsParser {
         case Par => b = b.appendChild(makeParagraf())
         case Rub => b = b.appendChild(makeRubrik())
         case StyckeH => b = b.appendChild(makeStycke(None))
+        case TabH => b = b.appendChild(makeTabell())
         case NumLista => b = b.appendChild(makeNumreradLista())
         case BokstavLista => b = b.appendChild(makeBokstavslista())
         case StreckLista => b = b.appendChild(makeStrecksatslista())

@@ -18,13 +18,15 @@ import java.nio.file.Files
   *    find_definitions + lagrum_parser over lagen.nu's URISpace on top
   *    of the structure parse; those surfaces are covered separately
   *    (LawRefGoldenSpec for citations, LawDoc for the mention path);
-  *  - `<Tabell` fixtures are the remaining cited SfsParser scope-out;
   *  - `id` attributes are stripped from the expected trees: the
   *    construct_id pass is URI minting, covered by LawDoc/Coin.
   *
-  * Loading mirrors the harness: ISO-8859-1, DOS linesep, autostrip
-  * (integrationSFS.py:32-35 — TextReader(encoding='iso-8859-1',
-  * linesep=DOS); reader.autostrip = True).
+  * Loading mirrors the harness: ISO-8859-1, DOS linesep normalized to
+  * "\n", whitespace otherwise UNTOUCHED (column alignment must reach
+  * the table parser) — SfsParser's own Reader applies the chunk-level
+  * autostrip exactly as integrationSFS.py:32-35 does
+  * (TextReader(encoding='iso-8859-1', linesep=DOS);
+  * reader.autostrip = True).
   */
 class SfsGoldenSpec extends AnyFunSuite {
 
@@ -60,20 +62,19 @@ class SfsGoldenSpec extends AnyFunSuite {
         if (!xml.exists()) None
         else {
           val x = new String(Files.readAllBytes(xml.toPath), "UTF-8")
-          val inScope = !x.contains("<Link") && !x.contains("Begrepp") &&
-            !x.contains("<Tabell")
+          val inScope = !x.contains("<Link") && !x.contains("Begrepp")
           if (inScope) Some((txt, xml)) else None
         }
       }.toSeq
 
   test("the structure-only fixture set is substantial") {
-    assert(fixtures.length >= 48, fixtures.map(_._1.getName).toString)
+    assert(fixtures.length >= 60, fixtures.map(_._1.getName).toString)
   }
 
   fixtures.foreach { case (txt, xml) =>
     test(s"golden: ${txt.getName}") {
       val text = new String(Files.readAllBytes(txt.toPath), "ISO-8859-1")
-        .split("\r?\n", -1).map(_.trim).mkString("\n") // autostrip + DOS
+        .replace("\r\n", "\n") // DOS linesep only; keep column whitespace
       // the harness parses as basefile 9999:998 (integrationSFS.py:26)
       val got = stripIds(SfsParser.parse(text, Some("9999:998")))
       val want = stripIds(TreeNode.fromXml(
