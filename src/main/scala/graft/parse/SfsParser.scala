@@ -75,8 +75,11 @@ import java.util.regex.Pattern
   * och/eller), and makeTabell's autostrip-off reading plus the
   * /Upphör…/-/Träder i kraft…/ per-row temporal attribution counter.
   *
-  * Scoped out (cited): Underavdelning (the reference gates it to
-  * exactly two statutes, sfs_parser.py:573-581).
+  * Underavdelning sub-divisions are kept too, including the reference's
+  * own gate: only statutes 1942:740 and 2010:110 use the element
+  * (sfs_parser.py:572-581), so the recognizer fires only under those
+  * basefiles — everywhere else a roman-numeral heading stays a Rubrik,
+  * exactly as in the reference.
   *
   * Pure per-row logic: one [[parse]] call per document inside a Dataset
   * map stage — no Spark types, no shared state.
@@ -401,6 +404,7 @@ object SfsParser {
     case object StyckeH extends Handler
     case object TabH extends Handler   // tabell (column-split rows)
     case object AvdH extends Handler   // avdelning (division) heading
+    case object UndAvdH extends Handler // underavdelning (sub-division)
     case object UKapH extends Handler  // revoked chapter stub line
     case object UParH extends Handler  // revoked/renumbered section stub
     case object ObsH extends Handler   // övergångsbestämmelser separator
@@ -452,6 +456,18 @@ object SfsParser {
           st.currentChapter != "1"
         case None => false
       }
+    }
+
+    /** isUnderavdelning (sfs_parser.py:572-581): gated to the only two
+      * statutes that use the element (1942:740, 2010:110); a heading of
+      * at most two lines opening with a roman numeral (optionally
+      * dotted) and an uppercase word, not ending like a sentence. */
+    val UnderavdelningHead = Pattern.compile("^[IVX]+\\.? +[A-ZÅÄÖ]")
+    def isUnderavdelning(p0: Option[String] = None): Boolean = {
+      if (!basefile.exists(Set("1942:740", "2010:110"))) return false
+      val p = p0.getOrElse(reader.peekparagraph())
+      p.count(_ == '\n') < 2 && UnderavdelningHead.matcher(p).find() &&
+        (!p.endsWith(".") || p.endsWith("m.m."))
     }
 
     /** isOvergangsbestammelser (sfs_parser.py:1240-1263): one of the
@@ -555,6 +571,7 @@ object SfsParser {
         val para = normalize(reader.peekparagraph())
         val line = reader.peekline()
         if (isAvdelning()) AvdH
+        else if (isUnderavdelning()) UndAvdH
         // revoked stubs outrank the live recognizers
         // (guess_state order, sfs_parser.py:526-533)
         else if (ChapterRevoked.matcher(line).matches()) UKapH
@@ -851,8 +868,8 @@ object SfsParser {
           case Blank => reader.readline()
           // ObH also ends a paragraf — the reference warns "Avskiljande
           // rubrik saknas" and closes it (sfs_parser.py:285-305)
-          case Par | Kap | AvdH | UKapH | UParH | Rub | ObsH | ObH |
-               BilagaH | Eof =>
+          case Par | Kap | AvdH | UndAvdH | UKapH | UParH | Rub | ObsH |
+               ObH | BilagaH | Eof =>
             go = false
           case StyckeH => p = p.appendChild(makeStycke(None))
           case other =>
@@ -899,7 +916,8 @@ object SfsParser {
           case Blank => reader.readline()
           // divisions, revoked-chapter stubs and the tail separators
           // end a kapitel (sfs_parser.py:198-204)
-          case Kap | AvdH | UKapH | ObsH | BilagaH | Eof => go = false
+          case Kap | AvdH | UndAvdH | UKapH | ObsH | BilagaH | Eof =>
+            go = false
           case UParH => k = k.appendChild(makeUpphavdParagraf())
           case Par => k = k.appendChild(makeParagraf())
           case Rub => k = k.appendChild(makeRubrik())
@@ -948,7 +966,8 @@ object SfsParser {
       val rubrik = reader.readline()
       var attrs = Vector("ordinal" -> ordinal, "rubrik" -> rubrik)
       if (reader.peekline(1).trim.isEmpty && reader.peekline(3).trim.isEmpty &&
-          !isKapitel(normalize(reader.peekline(2)))) {
+          !isKapitel(normalize(reader.peekline(2))) &&
+          !isUnderavdelning(Some(reader.peekline(2)))) {
         reader.readline() // the blank
         attrs :+= ("underrubrik" -> reader.readline())
       }
@@ -958,6 +977,9 @@ object SfsParser {
         guess() match {
           case Blank => reader.readline()
           case AvdH | ObsH | BilagaH | Eof => go = false
+          // a sub-division nests INSIDE its division — the reference's
+          // makeAvdelning loop appends it generically (sfs_parser.py:139)
+          case UndAvdH => av = av.appendChild(makeUnderavdelning())
           case Kap => av = av.appendChild(makeKapitel())
           case Par => av = av.appendChild(makeParagraf())
           case Rub => av = av.appendChild(makeRubrik())
@@ -972,6 +994,39 @@ object SfsParser {
         }
       }
       av
+    }
+
+    /** makeUnderavdelning (sfs_parser.py:145-167): "II. Rubrik…" — the
+      * token before the first space is the ordinal (trailing dot
+      * stripped), the rest the rubrik; collects structure until the
+      * next sub-division, division or tail element. */
+    def makeUnderavdelning(): TreeNode = {
+      val para = reader.readparagraph()
+      val sp = para.indexOf(' ')
+      val (ord0, rubrik) = (para.substring(0, sp), para.substring(sp + 1))
+      val ordinal =
+        if (ord0.trim.endsWith(".")) ord0.trim.dropRight(1) else ord0
+      var u = TreeNode("Underavdelning",
+        Vector("ordinal" -> ordinal, "rubrik" -> rubrik))
+      var go = true
+      while (go && !reader.eof) {
+        guess() match {
+          case Blank => reader.readline()
+          case UndAvdH | AvdH | ObsH | BilagaH | Eof => go = false
+          case Kap => u = u.appendChild(makeKapitel())
+          case Par => u = u.appendChild(makeParagraf())
+          case Rub => u = u.appendChild(makeRubrik())
+          case NumLista => u = u.appendChild(makeNumreradLista())
+          case BokstavLista => u = u.appendChild(makeBokstavslista())
+          case StreckLista => u = u.appendChild(makeStrecksatslista())
+          case StyckeH => u = u.appendChild(makeStycke(None))
+          case ObH => u = u.appendChild(makeOvergangsbestammelse())
+          case TabH => u = u.appendChild(makeTabell())
+          case UKapH => u = u.appendChild(makeUpphavtKapitel())
+          case UParH => u = u.appendChild(makeUpphavdParagraf())
+        }
+      }
+      u
     }
 
     /** makeOvergangsbestammelse (sfs_parser.py:453-466): one amendment's
@@ -997,6 +1052,7 @@ object SfsParser {
           // division headings occur inside appendixes/provisions — the
           // reference appends them generically (sfs_parser.py:459-464)
           case AvdH => ob = ob.appendChild(makeAvdelning())
+          case UndAvdH => ob = ob.appendChild(makeUnderavdelning())
           case TabH => ob = ob.appendChild(makeTabell())
           case UKapH => ob = ob.appendChild(makeUpphavtKapitel())
           case UParH => ob = ob.appendChild(makeUpphavdParagraf())
@@ -1032,6 +1088,7 @@ object SfsParser {
               case BokstavLista => makeBokstavslista()
               case StreckLista => makeStrecksatslista()
               case AvdH => makeAvdelning()
+              case UndAvdH => makeUnderavdelning()
               case TabH => makeTabell()
               case UKapH => makeUpphavtKapitel()
               case UParH => makeUpphavdParagraf()
@@ -1068,6 +1125,7 @@ object SfsParser {
           case ObH => bn = bn.appendChild(makeOvergangsbestammelse())
           case TabH => bn = bn.appendChild(makeTabell())
           case AvdH => bn = bn.appendChild(makeAvdelning())
+          case UndAvdH => bn = bn.appendChild(makeUnderavdelning())
           case UKapH => bn = bn.appendChild(makeUpphavtKapitel())
           case UParH => bn = bn.appendChild(makeUpphavdParagraf())
         }
@@ -1101,6 +1159,7 @@ object SfsParser {
         case BokstavLista => b = b.appendChild(makeBokstavslista())
         case StreckLista => b = b.appendChild(makeStrecksatslista())
         case AvdH => b = b.appendChild(makeAvdelning())
+        case UndAvdH => b = b.appendChild(makeUnderavdelning())
         case UKapH => b = b.appendChild(makeUpphavtKapitel())
         case UParH => b = b.appendChild(makeUpphavdParagraf())
         case ObsH => b = b.appendChild(makeOvergangsbestammelser(false))

@@ -127,6 +127,63 @@ class SfsParserSpec extends AnyFunSuite {
       .children.head.attr("ordinal").contains("2"))
   }
 
+  test("underavdelning: roman sub-divisions, gated to 2010:110/1942:740") {
+    // Mirrors socialförsäkringsbalken's AVD./underavdelning layout —
+    // the only structure the reference's gate exists for
+    // (sfs_parser.py:572-581); hand-derived, as no fixture carries it.
+    val text =
+      """AVD. A ÖVERGRIPANDE BESTÄMMELSER
+        |
+        |I Inledande bestämmelser, definitioner och förklaringar
+        |
+        |1 kap. Innehåll m.m.
+        |
+        |1 § Denna balk innehåller bestämmelser om social trygghet.
+        |
+        |2 § Balken är indelad i avdelningar.
+        |
+        |II Socialförsäkringsskyddet
+        |
+        |4 kap. Allmänna bestämmelser
+        |
+        |1 § Försäkrad är den som uppfyller villkoren.
+        |
+        |AVD. B FAMILJEFÖRMÅNER
+        |
+        |III Allmänna bestämmelser
+        |
+        |8 kap. Vissa bestämmelser
+        |
+        |1 § Innehållet anges här.
+        |""".stripMargin
+    val got = SfsParser.parse(text, Some("2010:110"))
+    val avds = got.children.filter(_.tag == "Avdelning")
+    assert(avds.map(_.attr("ordinal").get) == Vector("A", "B"))
+    // the roman heading is a sub-division, NOT the division underrubrik
+    assert(avds(0).attr("underrubrik").isEmpty)
+    val unds = avds(0).children.filter(_.tag == "Underavdelning")
+    assert(unds.map(_.attr("ordinal").get) == Vector("I", "II"))
+    assert(unds(0).attr("rubrik").contains(
+      "Inledande bestämmelser, definitioner och förklaringar"))
+    assert(unds(0).children.filter(_.tag == "Kapitel")
+      .map(_.attr("ordinal").get) == Vector("1"))
+    assert(unds(1).children.filter(_.tag == "Kapitel")
+      .map(_.attr("ordinal").get) == Vector("4"))
+    // AVD. B terminates underavdelning II; its own sub-division nests
+    assert(avds(1).children.filter(_.tag == "Underavdelning")
+      .map(_.attr("ordinal").get) == Vector("III"))
+    // trailing dot on the ordinal token is stripped (sfs_parser.py:148-149)
+    val dotted = SfsParser.parse(
+      "II. Socialförsäkringsskyddet\n\n4 kap. Regler\n\n1 § Text.\n",
+      Some("1942:740"))
+    assert(dotted.children.head.attr("ordinal").contains("II"))
+    // the gate: any other statute keeps roman headings as plain Rubrik
+    val ungated = SfsParser.parse(text, Some("1999:175"))
+    def tags(n: TreeNode): Vector[String] =
+      n.tag +: n.children.flatMap(tags)
+    assert(!tags(ungated).contains("Underavdelning"))
+  }
+
   test("revoked stubs: upphävt kapitel and upphävd/renumbered paragraf") {
     val text =
       """1 kap. Inledning
