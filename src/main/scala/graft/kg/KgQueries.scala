@@ -732,6 +732,144 @@ object KgQueries {
                        date: String = "2021-06-30"): DataFrame =
     Versions.asOfDate(versionsTable(spark), date).orderBy("repo", "path")
 
+  // ------------------------------------------------------ generate stage
+  /** One flattened article row of a document's generated page (the
+    * per-row parse half of the GENERATE stage — HtmlGenerate.flatten
+    * over the doc's XHTML+RDFa artifact). */
+  final case class GenRow(uri: String, title: String, seq: Int,
+      kind: String, frag: String, depth: Int, label: String,
+      about: String, inner_html: String)
+
+  /** Flattened generate-stage rows for every generic-template document
+    * (the rfc/md/html families — the Section-tree shape generic.xsl
+    * serves; law and dv have their own presentation templates in the
+    * reference, out of the generic page's scope). Per-row pure parse:
+    * element tree → XHTML artifact → flattened rows; the relational
+    * page assembly happens in [[generatedPages]] so the DuckDB oracle
+    * can replay it byte-identically from this dump. */
+  def genRows(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ctx(spark).docs
+      .filter(!col("path").endsWith(".law") && !col("path").endsWith(".dom"))
+      .select("uri", "title", "bodyXml")
+      .as[(String, String, String)]
+      .flatMap { case (uri, title, bodyXml) =>
+        val flat = graft.parse.HtmlGenerate.flatten(
+          graft.parse.HtmlGenerate.contentXhtml(uri, title,
+            graft.parse.TreeNode.fromXml(bodyXml)))
+        flat.rows.map(r => GenRow(uri, title, r.seq, r.kind, r.frag,
+          r.depth, r.label, r.about, r.innerHtml))
+      }.toDF()
+  }
+
+  /** The GENERATE sink as a distributed query (documentrepository.py:
+    * 2434-2527 generate(); transform semantics of res/xsl/generic.xsl +
+    * base.xsl, ported in graft.parse.HtmlGenerate and asserted against
+    * the reference's own testDocRepo generate tests): one complete
+    * browser-ready HTML5 page per document, assembled RELATIONALLY —
+    * per-row fragment html, a lead()-window TOC nesting pass, ordered
+    * string aggregation per document, and annotation asides joined in
+    * from the triple store (incoming dcterms:references labeled by the
+    * citing resource's dcterms:identifier — the reference's
+    * prep_annotation_file graph). Every string-building step here has a
+    * 1:1 DuckDB equivalent in the oracle, which rebuilds the SAME page
+    * bytes from the kg_gen_rows + kg_triples dumps. */
+  def generatedPages(spark: SparkSession, dir: String): DataFrame = {
+    import graft.parse.HtmlGenerate._
+    val conf = SiteConf()
+    val rows = genRows(spark)
+    val tr = t(ctx(spark))
+    def escC(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    def escA(c: org.apache.spark.sql.Column) =
+      regexp_replace(escC(c), "\"", "&quot;")
+
+    // annotation asides: incoming references per target, link per citing
+    // resource, ordered by citing URI (the graph is unordered; the
+    // oracle orders identically)
+    val refs = tr.filter(col("pred") === Vocab.dcterms("references"))
+      .select(col("obj").as("target"), col("subj").as("citing")).distinct()
+    val ids = tr.filter(col("pred") === Vocab.dcterms("identifier"))
+      .groupBy(col("subj")).agg(min(col("obj")).as("ident"))
+    val links = refs.join(ids, refs("citing") === ids("subj"), "left")
+      .select(col("target"), col("citing"),
+        concat(lit("<a href=\""), escA(col("citing")), lit("\">"),
+          escC(coalesce(col("ident"), lit(""))), lit("</a>")).as("a"))
+    val asides = links.groupBy("target").agg(
+      count(lit(1)).as("n_links"),
+      concat(lit(AsideOpen), array_join(transform(
+        array_sort(collect_list(struct(col("citing"), col("a")))),
+        s => s.getField("a")), ""), lit(AsideClose)).as("aside"))
+
+    // per-row article html (sec/top rows host the aside of their about)
+    val hN = concat(lit("<h"), (col("depth") + 1).cast("string"), lit(">"),
+      escC(col("label")),
+      lit("</h"), (col("depth") + 1).cast("string"), lit(">"))
+    val r2 = rows.join(asides, rows("about") === asides("target"), "left")
+      .withColumn("asideh", when(col("kind").isin("sec", "top"),
+        coalesce(col("aside"), lit(""))).otherwise(lit("")))
+      .withColumn("nl", when(col("kind").isin("sec", "top"),
+        coalesce(col("n_links"), lit(0L))).otherwise(lit(0L)))
+      .withColumn("rh",
+        when(col("kind") === "sec", concat(
+          lit("<div class=\"section-wrapper\" about=\""),
+          escA(col("about")),
+          lit("\"><section id=\""), escA(col("frag")), lit("\">"),
+          when(col("depth") <= 3, hN).otherwise(lit("")),
+          col("inner_html"), lit("</section>"), col("asideh"),
+          lit("</div>")))
+        .when(col("kind") === "top", concat(
+          lit("<div class=\"section-wrapper toplevel\">" +
+              "<section id=\"\" class=\"col-sm-8\">"),
+          when(col("label") =!= "", concat(lit("<h2>"), escC(col("label")),
+            lit("</h2>"))).otherwise(lit("")),
+          col("inner_html"), lit("</section>"), col("asideh"),
+          lit("</div>")))
+        .otherwise(col("inner_html")))
+
+    // TOC: nested-ul assembly from the flat depth sequence via lead()
+    val w = Window.partitionBy("uri").orderBy("seq")
+    val ti = rows.filter(col("kind") === "sec")
+      .withColumn("nxt", lead(col("depth"), 1, 1).over(w))
+      .withColumn("ti", concat(
+        lit("<li><a href=\"#"), escA(col("frag")), lit("\">"),
+        escC(col("label")), lit("</a>"),
+        when(col("nxt") > col("depth"), lit("<ul>"))
+        .when(col("nxt") === col("depth"), lit("</li>"))
+        .otherwise(concat(lit("</li>"),
+          expr("repeat('</ul></li>', depth - nxt)")))))
+    val toc = ti.groupBy("uri").agg(
+      count(lit(1)).as("n_sections"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seq"), col("ti")))),
+        s => s.getField("ti")), "").as("tocbody"))
+
+    val art = r2.groupBy(col("uri"), col("title")).agg(
+      sum(col("nl")).as("n_annotation_links"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seq"), col("rh")))),
+        s => s.getField("rh")), "").as("artbody"))
+
+    art.join(toc, Seq("uri"), "left")
+      .select(col("uri"),
+        coalesce(col("n_sections"), lit(0L)).as("n_sections"),
+        col("n_annotation_links"),
+        concat(
+          lit(Doctype + "<html><head>" + HeadMetas + "<title>"),
+          escC(col("title")),
+          lit(" | " + esc(conf.sitename) + "</title>" + BootstrapCss +
+              "</head>" + BodyOpen + navbarHtml(conf) + RowOpen +
+              SidebarOpen + TocOpen),
+          coalesce(col("tocbody"), lit("")),
+          lit(TocClose + "</div><article class=\"col-sm-9\"><h1>"),
+          escC(col("title")), lit("</h1>"),
+          col("artbody"),
+          lit("</article>" + footerHtml(conf) + "</div>" + Scripts +
+              "</body></html>")).as("html"))
+      .orderBy("uri")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_pipeline_triples" -> pipelineTriples,
     "kg_facet_pivot" -> facetPivot,
@@ -772,6 +910,7 @@ object KgQueries {
     "kg_law_refs" -> lawRefs,
     "kg_legaluri" -> legalUriRoundtrip,
     "kg_dv_structure" -> dvStructure,
+    "kg_generated_pages" -> ((s, d) => generatedPages(s, d)),
   )
 
   /** Stage tables dumped by graft.Verify under the sibling `<outDir>.base`
@@ -801,6 +940,11 @@ object KgQueries {
     // LawDocSpec's generator-independent P/R oracle)
     "kg_law_mentions" -> ((s, _) =>
       lawMentions(s).select("docId", "grammar", "candidateKey")),
+    // generate-stage flattened article rows: the kg_generated_pages
+    // oracle re-assembles the COMPLETE html page from these + kg_triples
+    // (per-row flatten covered by HtmlGenerateSpec's ported reference
+    // assertions)
+    "kg_gen_rows" -> ((s, _) => genRows(s)),
   )
 
   /** Every distinct statement of the materialized graph rendered as one
@@ -1293,5 +1437,86 @@ object KgQueries {
                FROM read_parquet('__BASE__/kg_versions/*.parquet')
                WHERE committedAt <= '2021-06-30')
          WHERE rk = 1""",
+    // the COMPLETE generated HTML page per document, rebuilt
+    // byte-identically: fragment html per row, lead()-window TOC
+    // nesting, ordered string_agg per doc, annotation asides joined
+    // from the triple dump. Chrome boilerplate is interpolated from the
+    // SAME HtmlGenerate constants the engine uses — what the oracle
+    // re-derives is every relational step (joins, ordering, nesting,
+    // aggregation), per VERDICT r2's oracle-independence rule.
+    "kg_generated_pages" -> generatedPagesSql,
   )
+
+  private def generatedPagesSql: String = {
+    import graft.parse.HtmlGenerate._
+    val conf = SiteConf()
+    def e3(c: String) = // text escape, identical replace chain both sides
+      s"replace(replace(replace($c,'&','&amp;'),'<','&lt;'),'>','&gt;')"
+    def e4(c: String) = // attribute escape adds the quote
+      s"replace(${e3(c)},'\"','&quot;')"
+    s"""WITH rows_ AS (
+         SELECT * FROM read_parquet('__BASE__/kg_gen_rows/*.parquet')),
+       tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
+       refs AS (SELECT DISTINCT obj AS target, subj AS citing FROM tr
+                WHERE pred = '${dct("references")}'),
+       ids AS (SELECT subj, min(obj) AS ident FROM tr
+               WHERE pred = '${dct("identifier")}' GROUP BY subj),
+       links AS (SELECT r.target, r.citing,
+           '<a href="' || ${e4("r.citing")} || '">' ||
+           ${e3("coalesce(i.ident,'')")} || '</a>' AS a
+         FROM refs r LEFT JOIN ids i ON r.citing = i.subj),
+       asides AS (SELECT target, cast(count(*) AS bigint) AS n_links,
+           '$AsideOpen' || string_agg(a, '' ORDER BY citing) ||
+           '$AsideClose' AS aside
+         FROM links GROUP BY target),
+       r2 AS (SELECT r.*,
+           CASE WHEN r.kind IN ('sec','top')
+                THEN coalesce(a.aside, '') ELSE '' END AS asideh,
+           CASE WHEN r.kind IN ('sec','top')
+                THEN coalesce(a.n_links, 0) ELSE 0 END AS nl
+         FROM rows_ r LEFT JOIN asides a ON r.about = a.target),
+       rh AS (SELECT uri, title, seq, nl, CASE
+           WHEN kind = 'sec' THEN
+             '<div class="section-wrapper" about="' || ${e4("about")} ||
+             '"><section id="' || ${e4("frag")} || '">' ||
+             CASE WHEN depth <= 3 THEN
+               '<h' || (depth + 1) || '>' || ${e3("label")} ||
+               '</h' || (depth + 1) || '>' ELSE '' END ||
+             inner_html || '</section>' || asideh || '</div>'
+           WHEN kind = 'top' THEN
+             '<div class="section-wrapper toplevel">' ||
+             '<section id="" class="col-sm-8">' ||
+             CASE WHEN label <> '' THEN
+               '<h2>' || ${e3("label")} || '</h2>' ELSE '' END ||
+             inner_html || '</section>' || asideh || '</div>'
+           ELSE inner_html END AS rh
+         FROM r2),
+       secs AS (SELECT uri, seq, frag, depth, label,
+           lead(depth, 1, 1) OVER (PARTITION BY uri ORDER BY seq) AS nxt
+         FROM rows_ WHERE kind = 'sec'),
+       ti AS (SELECT uri, seq,
+           '<li><a href="#' || ${e4("frag")} || '">' || ${e3("label")} ||
+           '</a>' ||
+           CASE WHEN nxt > depth THEN '<ul>'
+                WHEN nxt = depth THEN '</li>'
+                ELSE '</li>' || repeat('</ul></li>', depth - nxt) END AS ti
+         FROM secs),
+       toc AS (SELECT uri, cast(count(*) AS bigint) AS n_sections,
+           string_agg(ti, '' ORDER BY seq) AS tocbody
+         FROM ti GROUP BY uri),
+       art AS (SELECT uri, title,
+           cast(sum(nl) AS bigint) AS n_annotation_links,
+           string_agg(rh, '' ORDER BY seq) AS artbody
+         FROM rh GROUP BY uri, title)
+       SELECT a.uri, coalesce(t.n_sections, 0) AS n_sections,
+         a.n_annotation_links,
+         '$Doctype<html><head>$HeadMetas<title>' || ${e3("a.title")} ||
+         ' | ${esc(conf.sitename)}</title>$BootstrapCss</head>$BodyOpen' ||
+         '${navbarHtml(conf)}$RowOpen$SidebarOpen$TocOpen' ||
+         coalesce(t.tocbody, '') ||
+         '$TocClose</div><article class="col-sm-9"><h1>' ||
+         ${e3("a.title")} || '</h1>' || a.artbody ||
+         '</article>${footerHtml(conf)}</div>$Scripts</body></html>' AS html
+       FROM art a LEFT JOIN toc t ON a.uri = t.uri"""
+  }
 }

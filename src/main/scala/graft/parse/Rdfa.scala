@@ -113,14 +113,16 @@ object Rdfa {
   // ------------------------------------------------------------ distill
   /** Extract the graph from XHTML+RDFa (the ferenda-emitted subset).
     * `graph` is stamped on every produced triple. */
-  def distill(xhtml: String, graph: String = ""): Vector[Triple] = {
+  /** Hardened, namespace-unaware DOM parse shared by [[distill]] and
+    * [[HtmlGenerate]]. XXE hardening: the input can be untrusted
+    * (fixture artifacts are explicitly untrusted content), and the
+    * ferenda-emitted subset never carries a DOCTYPE — reject doctypes
+    * outright so an inline <!ENTITY x SYSTEM "file:..."> can't
+    * exfiltrate local files into literal triples, and belt-and-braces
+    * the external-entity switches. */
+  private[parse] def secureDom(xml: String): org.w3c.dom.Document = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false)
-    // XXE hardening: the input can be untrusted (fixture artifacts are
-    // explicitly untrusted content), and the ferenda-emitted subset never
-    // carries a DOCTYPE — reject doctypes outright so an inline
-    // <!ENTITY x SYSTEM "file:..."> can't exfiltrate local files into
-    // literal triples, and belt-and-braces the external-entity switches.
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.setFeature(
       "http://xml.org/sax/features/external-general-entities", false)
@@ -130,8 +132,12 @@ object Rdfa {
       "http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
     f.setXIncludeAware(false)
     f.setExpandEntityReferences(false)
-    val doc = f.newDocumentBuilder().parse(
-      new java.io.ByteArrayInputStream(xhtml.getBytes("UTF-8")))
+    f.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+  }
+
+  def distill(xhtml: String, graph: String = ""): Vector[Triple] = {
+    val doc = secureDom(xhtml)
     val root = doc.getDocumentElement
 
     val pfx = mutable.HashMap.empty[String, String]
