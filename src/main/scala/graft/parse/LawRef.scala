@@ -516,7 +516,17 @@ object LawRef {
         }
       }
       // multi-item list: each id its own link; last includes the mark;
-      // chapter text (if any) merges into the first link
+      // chapter text (if any) merges into the first link. A BARE list
+      // ending in singular '§' is NOT a valid enumeration (lagrum.ebnf:66
+      // LastSectionRef requires DoubleSectionMark; only the chaptered
+      // AlternateChapterSectionRefs form, lagrum.ebnf:38, takes single
+      // '§') — fail the group so the scanner later matches just "M §"
+      // and the leading ids stay plain text (the reference's own current
+      // behavior: its sfs-tricky-eller fixture is in brokentests, and
+      // its sfs/parse definition-brottsrubricering-bisats golden keeps
+      // "1 eller " unlinked before "2 §").
+      if (items.size > 1 && mark.get._2 == "§" && chapter.isEmpty)
+        return None
       items.toVector.zipWithIndex.foreach { case ((f, t, id), i) =>
         val from = if (i == 0) chapterStart.getOrElse(f) else f
         val to = if (i == items.size - 1) markEnd else t
@@ -784,11 +794,17 @@ object LawRef {
 
       // chapter state WITHIN one root (the reference's currentchapter:
       // "6 kap. 4 §, 6 §, 10 § och 11 §" — later bare sections inherit
-      // the most recent chapter; cleared at root end like currentlaw)
+      // the most recent chapter; cleared at root end like currentlaw).
+      // ONLY single-section groups inherit: the chaptered enumeration
+      // production (lagrum.ebnf:36 IndividualChapterSectionRefs) chains
+      // single SectionRefs, while a multi-id '§§' list is an independent
+      // SectionRefs production with no chapter binding — "5 kap. 5 §
+      // tredje stycket samt 5 a, 6 a … §§" renders the list chapterless
+      // (#P5a…), per the reference's own nastlade-listor golden.
       var curChap: Option[String] = None
       val groupsC = groups.toVector.map { g =>
         if (g.chapter.isDefined) { curChap = g.chapter; g }
-        else if (curChap.isDefined)
+        else if (curChap.isDefined && g.nSecIds <= 1)
           g.copy(pieces = g.pieces.map {
             case Right(pl) if pl.chapter.isEmpty =>
               Right(pl.copy(chapter = curChap))

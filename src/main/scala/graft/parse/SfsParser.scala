@@ -368,8 +368,11 @@ object SfsParser {
       // indirect), so a document-FINAL headline is a rubrik
       // (sfs_parser.py:743-830 on '' returns True when indirect)
       if (p.isEmpty) return indirect
-      if (p.head.isLower && p.head.isLetter) return false
-      if (p.startsWith("/Rubriken")) return false
+      // sfs_parser.py:743 — any non-uppercase start rejects, EXCEPT the
+      // "/Rubriken upphör…/" temporal-marker prefix (the marker is
+      // consumed by makeRubrik's andringsDatum)
+      if (p.head.toLower == p.head && !p.startsWith("/Rubriken"))
+        return false
       if (p.length > 135) return false
       if (isParagraf(p) || isNumreradLista(p) || isStrecksatslista(p))
         return false

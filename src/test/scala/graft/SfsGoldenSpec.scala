@@ -83,4 +83,58 @@ class SfsGoldenSpec extends AnyFunSuite {
         s"\ngot:  ${TreeNode.canonical(got)}\nwant: ${TreeNode.canonical(want)}")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // The FULL-pipeline fixtures (citation / definition markup): structure
+  // parse + construct_id + find_definitions + lagrum citation marking,
+  // exactly the passes integrationSFS.py:51-55 runs. Expected trees are
+  // compared WITH ids (construct_id is under test here); node uris are
+  // absent on both sides (the harness's _remove_uri_for_testcases keeps
+  // only LinkSubject uris, and graft.parse.SfsMarkup materializes ids
+  // without uri attrs).
+  // ---------------------------------------------------------------------
+
+  /** rdfs:label lines of the reference's public sfs.ttl → normalized
+    * name → SFS id — the same dictionary source its harness loads
+    * (legalref.py:258-266), as in LawRefGoldenSpec. */
+  private lazy val namedLaws: Map[String, String] = {
+    val src = scala.io.Source.fromFile(
+      "/root/reference/lagen/nu/res/extra/sfs.ttl", "utf-8")
+    try {
+      val re = """<https://lagen\.nu/([^>]+)>\s+rdfs:label\s+"([^"]+)"""".r
+      re.findAllMatchIn(src.mkString).map { m =>
+        graft.parse.LawRef.normalizeLawName(m.group(2)) -> m.group(1)
+      }.toMap
+    } finally src.close()
+  }
+
+  private val markupFixtures: Seq[(java.io.File, java.io.File)] =
+    dir.listFiles.filter(_.getName.endsWith(".txt")).sortBy(_.getName)
+      .filterNot(f => broken(f.getName))
+      .flatMap { txt =>
+        val xml = new java.io.File(dir, txt.getName.replace(".txt", ".xml"))
+        if (!xml.exists()) None
+        else {
+          val x = new String(Files.readAllBytes(xml.toPath), "UTF-8")
+          if (x.contains("<Link") || x.contains("Begrepp")) Some((txt, xml))
+          else None
+        }
+      }.toSeq
+
+  test("the markup fixture set covers the rest of the suite") {
+    assert(markupFixtures.length >= 40, markupFixtures.map(_._1.getName))
+  }
+
+  markupFixtures.foreach { case (txt, xml) =>
+    test(s"golden (ids+definitions+citations): ${txt.getName}") {
+      val text = new String(Files.readAllBytes(txt.toPath), "ISO-8859-1")
+        .replace("\r\n", "\n")
+      val tree = SfsParser.parse(text, Some("9999:998"))
+      val got = graft.parse.SfsMarkup.markup(tree, "9999:998", namedLaws)
+      val want = TreeNode.fromXml(
+        new String(Files.readAllBytes(xml.toPath), "UTF-8"))
+      assert(TreeNode.canonical(got) == TreeNode.canonical(want),
+        s"\ngot:  ${TreeNode.canonical(got)}\nwant: ${TreeNode.canonical(want)}")
+    }
+  }
 }
