@@ -12,7 +12,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.rel.Relational.queries ++ graft.kg.KgQueries.queries ++
       graft.text.TextOps.queries ++ graft.sim.SimOps.queries ++
-      graft.mm.MultiModal.queries ++ graft.streaming.StreamOps.queries
+      graft.mm.MultiModal.queries ++ graft.streaming.StreamOps.queries ++
+      graft.pdf.PdfOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB. Queries
     * over sfDir tables reference the driver-registered views directly;
@@ -22,11 +23,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.rel.Relational.oracleSql ++ graft.text.TextOps.oracleSql ++
       graft.sim.SimOps.oracleSql ++ graft.kg.KgQueries.oracleSql ++
-      graft.mm.MultiModal.oracleSql ++ graft.streaming.StreamOps.oracleSql
+      graft.mm.MultiModal.oracleSql ++ graft.streaming.StreamOps.oracleSql ++
+      graft.pdf.PdfOps.oracleSql
 
   /** Engine-internal tables dumped by graft.Verify under the `<outDir>.base`
     * sibling dir as oracle inputs (stage tables, signatures, versions). */
   def baseTables: Map[String, (SparkSession, String) => DataFrame] =
     graft.kg.KgQueries.baseTables ++ graft.text.TextOps.baseTables ++
-      graft.mm.MultiModal.baseTables
+      graft.mm.MultiModal.baseTables ++ graft.pdf.PdfOps.baseTables
 }
