@@ -46,11 +46,16 @@ import scala.collection.mutable
   */
 object PdfReader {
 
+  /** Per-word geometry carried by hOCR textelements (the reference's
+    * Textelement top/left/width/height kwargs, pdfreader.py:458-464). */
+  final case class Geom(top: Int, left: Int, width: Int, height: Int)
+
   /** One run of identically-formatted text. `tag`: None = regular,
     * "b"/"i"/"bi"/"sup"/"bs"… per the reference's tag algebra. `uri`
     * marks the LinkedTextelement subclass. */
   final case class TextEl(text: String, tag: Option[String],
-                          uri: Option[String] = None) {
+                          uri: Option[String] = None,
+                          geom: Option[Geom] = None) {
     def linked: Boolean = uri.isDefined
 
     /** Textelement.__add__ (pdfreader.py:1579-1618): insert a space
@@ -75,7 +80,9 @@ object PdfReader {
 
   final case class Textbox(top: Int, left: Int, width: Int, height: Int,
                            fontid: Int, els: Vector[TextEl],
-                           lines: Int = 0, lineheight: Double = 0) {
+                           lines: Int = 0, lineheight: Double = 0,
+                           parid: Option[String] = None,
+                           confidence: Option[Double] = None) {
     def right: Int = left + width
     def bottom: Int = top + height
     def text: String = els.map(_.text).mkString
@@ -551,6 +558,142 @@ object PdfReader {
       else merged += x
     }
     merged.toVector
+  }
+
+  // ------------------------------------------------------- hOCR parse
+  /** `bbox L T R B(; x_wconf C)?` searched anywhere in a title attr
+    * (pdfreader.py:403-404; re_dimensions is a `search`, so the page
+    * title's leading `image "…";` prefix is skipped). */
+  private val BboxRe =
+    ("bbox (\\d+) (\\d+) (\\d+) (\\d+)(; x_wconf (\\d+)|)").r.unanchored
+
+  private final case class HocrDim(left: Int, top: Int, right: Int,
+                                   bottom: Int, confidence: Option[Int])
+
+  /** _parse_hocr (pdfreader.py:405-522) over tesseract's hOCR XHTML —
+    * the OCR path of the reference's PDFReader (ocr_lang → .hocr.html
+    * intermediate; its own suite drives this from canned fixtures,
+    * testPDFReader.py:160-218, exactly as we do):
+    *
+    *  - per-page pixel→point scaling from the ocr_page bbox against an
+    *    assumed A4 height (11.69 in × 72 pt), Python-round
+    *    (half-to-even = Math.rint) per coordinate;
+    *  - one Textbox per ocr_line (ocr_carea level discarded), carrying
+    *    the parent ocr_par id when present and a char-length-weighted
+    *    mean x_wconf confidence;
+    *  - one Textelement per ocrx_word (text + tail, \n → space,
+    *    whitespace-only words dropped) with word-level geometry; an
+    *    em/strong child maps to the i/b tag;
+    *  - footnote heuristic: a digit-only first word at most half the
+    *    line's average word height becomes "sup";
+    *  - synthesized fontspecs: family "unknown", size = the line's
+    *    average word height (integer mean), deduplicated across the
+    *    document.
+    */
+  def parseHocr(html: String): PdfDoc = {
+    val doc = Rdfa.secureDom(html.replaceFirst("(?s)<!DOCTYPE[^>]*>", ""))
+
+    def descendants(e: Element, cls: String): Vector[Element] = {
+      val out = Vector.newBuilder[Element]
+      def walk(x: Element): Unit = childElems(x).foreach { c =>
+        if (c.getAttribute("class") == cls) out += c
+        walk(c)
+      }
+      walk(e)
+      out.result()
+    }
+    // element.tail — all text after the end tag up to the next sibling
+    // element (lxml's model, reproduced over DOM siblings)
+    def tailOf(e: Element): String = {
+      val sb = new StringBuilder
+      var n = e.getNextSibling
+      while (n != null && (n.getNodeType == Node.TEXT_NODE ||
+             n.getNodeType == Node.CDATA_SECTION_NODE)) {
+        sb.append(n.getNodeValue); n = n.getNextSibling
+      }
+      sb.toString
+    }
+
+    val fontspec = mutable.LinkedHashMap.empty[Int, FontSpec]
+    val pages = Vector.newBuilder[PdfPage]
+
+    descendants(doc.getDocumentElement, "ocr_page").foreach { pageEl =>
+      // A4 pixel→point scale factor, computed exactly as the reference
+      // does (11.69 in / (1/72) pt-per-in; FIXME there: real page dims)
+      val pageheightInPoints = 11.69 / (1.0 / 72)
+      val pm = BboxRe.findFirstMatchIn(pageEl.getAttribute("title"))
+        .getOrElse(sys.error("ocr_page without bbox"))
+      val pxPerPoint = (pm.group(4).toInt - pm.group(2).toInt) /
+        pageheightInPoints
+
+      def dimensions(title: String): HocrDim = {
+        val m = BboxRe.findFirstMatchIn(title)
+          .getOrElse(sys.error(s"no bbox in title: $title"))
+        def pt(g: Int) = Math.rint(m.group(g).toInt / pxPerPoint).toInt
+        HocrDim(pt(1), pt(2), pt(3), pt(4),
+          Option(m.group(6)).filter(_.nonEmpty).map(_.toInt))
+      }
+
+      val dim = dimensions(pageEl.getAttribute("title"))
+      val pageNumber = pageEl.getAttribute("id").substring(5).toInt
+      val boxes = mutable.ArrayBuffer.empty[Textbox]
+
+      descendants(pageEl, "ocr_line").foreach { lineEl =>
+        val boxdim = dimensions(lineEl.getAttribute("title"))
+        val parid = Option(lineEl.getParentNode).collect {
+          case p: Element if p.getAttribute("class") == "ocr_par" =>
+            p.getAttribute("id")
+        }
+        var confidence = 0L
+        var conflen = 0L
+        var textelements = Vector.empty[TextEl]
+        descendants(lineEl, "ocrx_word").foreach { wordEl =>
+          val wdim = dimensions(wordEl.getAttribute("title"))
+          val t0 = wordEl.getTextContent + tailOf(wordEl)
+          if (t0.trim.nonEmpty) {
+            val t = t0.replace("\n", " ")
+            val tag = childElems(wordEl).headOption.map { c =>
+              c.getNodeName match {
+                case "em" => "i"
+                case "strong" => "b"
+                case other => sys.error(s"unexpected word child <$other>")
+              }
+            }
+            textelements = textelements :+ TextEl(t, tag, None,
+              Some(Geom(wdim.top, wdim.left, wdim.right - wdim.left,
+                wdim.bottom - wdim.top)))
+            val tlen = t.trim.length
+            confidence += wdim.confidence.getOrElse(0).toLong * tlen
+            conflen += tlen
+          }
+        }
+        if (textelements.nonEmpty) {
+          val heights = textelements.map(_.geom.get.height)
+          val avgheight = heights.sum / heights.length
+          val h = textelements.head
+          if (h.text.trim.nonEmpty && h.text.trim.forall(_.isDigit) &&
+              h.geom.get.height <= avgheight / 2.0)
+            textelements = h.copy(tag = Some("sup")) +: textelements.tail
+
+          val fontid = fontspec.collectFirst {
+            case (id, s) if s.size == avgheight && s.family == "unknown" =>
+              id
+          }.getOrElse {
+            val id = fontspec.size
+            fontspec(id) = FontSpec(id, avgheight, "unknown", "#000000")
+            id
+          }
+          val conf = confidence.toDouble / conflen
+          require(conf <= 100, "Confidence is impossibly high")
+          boxes += Textbox(boxdim.top, boxdim.left,
+            boxdim.right - boxdim.left, boxdim.bottom - boxdim.top,
+            fontid, textelements, parid = parid, confidence = Some(conf))
+        }
+      }
+      pages += PdfPage(pageNumber, dim.right - dim.left,
+        dim.bottom - dim.top, boxes.toVector)
+    }
+    PdfDoc(pages.result(), fontspec.toMap)
   }
 
   // --------------------------------------------- serialization surface
