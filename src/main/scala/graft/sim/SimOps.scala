@@ -392,7 +392,63 @@ object SimOps {
       .orderBy("rep")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    * scale = cluster FIRST, dedup within clusters only — the pair scan
+    * shrinks from O(n²) to Σ|cluster|², and cluster count grows with
+    * the corpus (here [[IvfLists]] coarse centroids via the same
+    * deterministic-sample stand-in the IVF index uses; production
+    * swaps in k-means, identical shape). Within a cluster, pairs at
+    * cosine >= threshold form connected components; the kept exemplar
+    * is the member LEAST similar to its centroid — the paper's rule,
+    * keeping the outlier preserves diversity — with ties to the
+    * lowest id. Singletons keep themselves. */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.5): DataFrame = {
+    val e = graft.CacheRegistry.track(withNorm(emb(spark, dir)))
+    val n = e.count()
+    val step = math.max(1L, n / IvfLists)
+    val centroids = e.filter(pmod(col("vec_id"), lit(step)) === 0 &&
+        col("vec_id") < step * IvfLists)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = graft.CacheRegistry.track(
+      e.join(broadcast(centroids), col("vec_id").isNotNull)
+        .withColumn("csim",
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+        .withColumn("crk", row_number().over(aw))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          col("csim")))
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("ida") < col("idb") &&
+        dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("ida").cast("string").as("src"),
+        col("idb").cast("string").as("dst"))
+    val comp = graft.kg.Cc.connectedComponents(pairs)
+      .select(col("uri").cast("long").as("vec_id"), col("canon"))
+    val withComp = assigned.select("vec_id", "cid", "csim")
+      .join(comp, Seq("vec_id"), "left")
+    val keepW = Window.partitionBy("canon")
+      .orderBy(col("csim").asc, col("vec_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grouped = withComp.filter(col("canon").isNotNull)
+      .withColumn("rep", first(col("vec_id")).over(keepW))
+    val singles = withComp.filter(col("canon").isNull)
+      .withColumn("rep", col("vec_id"))
+    grouped.unionByName(singles)
+      .select(col("vec_id"), col("cid"), col("csim"), col("rep"),
+        (col("vec_id") === col("rep")).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semdedup" -> ((s, d) => semDedup(s, d)),
     "sim_cosine_pairs" -> ((s, d) => cosinePairsAuto(s, d)),
     "sim_knn_brute" -> ((s, d) => knnBrute(s, d)),
     "sim_lsh_knn" -> ((s, d) => lshKnn(s, d)),
@@ -430,6 +486,53 @@ object SimOps {
              (SELECT count(*) FROM brute) AS r)
          SELECT s.* FROM spark s WHERE (SELECT r FROM recall) >= $floor"""
     Map(
+      // SemDeDup re-derived END TO END: centroid sampling, nearest-
+      // centroid assignment (rounded-cosine rank, cid tie-break),
+      // within-cluster pair discovery, an independent recursive-CTE
+      // CC, and the keep-the-least-central exemplar rule
+      "sim_semdedup" ->
+        """WITH RECURSIVE
+           em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+           stepc AS (SELECT greatest(1, count(*)//16) AS step FROM em),
+           cent AS (SELECT vec_id AS cid, v AS cv FROM em, stepc
+                    WHERE vec_id % step = 0 AND vec_id < step*16),
+           asg AS (SELECT vec_id, cid, csim FROM (
+               SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(e.v, c.cv), 6) AS csim,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+                     DESC, c.cid ASC) AS rn
+               FROM em e CROSS JOIN cent c)
+             WHERE rn = 1),
+           p0 AS (SELECT a.vec_id AS x, b.vec_id AS y
+                  FROM asg a JOIN asg b
+                    ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  JOIN em ea ON ea.vec_id = a.vec_id
+                  JOIN em eb ON eb.vec_id = b.vec_id
+                  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.5),
+           ed AS (SELECT x, y FROM p0 UNION SELECT y, x FROM p0),
+           reach(a, b) AS (
+             SELECT x, y FROM ed
+             UNION
+             SELECT r.a, ed.y FROM reach r JOIN ed ON r.b = ed.x),
+           mem AS (SELECT a AS node, b AS other FROM reach
+                   UNION SELECT a, a FROM (SELECT DISTINCT a FROM reach)),
+           comp AS (SELECT node, min(other) AS compid FROM mem
+                    GROUP BY 1),
+           keeper AS (SELECT compid, node AS rep FROM (
+               SELECT c.compid, c.node,
+                 row_number() OVER (PARTITION BY c.compid
+                   ORDER BY a.csim ASC, c.node ASC) AS rn
+               FROM comp c JOIN asg a ON a.vec_id = c.node)
+             WHERE rn = 1)
+           SELECT a.vec_id, a.cid, a.csim,
+             coalesce(k.rep, a.vec_id) AS rep,
+             (coalesce(k.rep, a.vec_id) = a.vec_id) AS kept
+           FROM asg a
+           LEFT JOIN comp c ON c.node = a.vec_id
+           LEFT JOIN keeper k ON k.compid = c.compid
+           ORDER BY a.vec_id""",
       "sim_cosine_pairs" ->
         """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data text operators over the `documents` table
@@ -595,7 +596,46 @@ object TextOps {
       .toDF("doc_id", "fp")
   }
 
+  /** Intra-corpus SPAN dedup (the RefinedWeb/Dolma paragraph-dedup
+    * shape, at fixed word-block granularity since this corpus has no
+    * paragraph separators): documents explode into consecutive
+    * `blockWords`-word blocks, a globally repeated block survives only
+    * at its FIRST occurrence (document order, then position), and
+    * documents reassemble from their surviving blocks. Plan shape: a
+    * narrow explode (sequence+slice, no UDF), ONE shuffle on the block
+    * text for the first-occurrence window, one on doc_id to
+    * reassemble — both hash-partitioned and skew-tolerant (a block
+    * repeated millions of times is still one window partition, which
+    * is why production would pre-aggregate `min(doc, pos)` per block
+    * instead of ranking; at this corpus' duplication levels the
+    * window is the clearer equivalent plan). */
+  def spanDedup(spark: SparkSession, dir: String,
+                blockWords: Int = 8): DataFrame = {
+    val words = split(col("text"), " ")
+    val nb = ceil(size(words) / lit(blockWords.toDouble)).cast("int")
+    val blocks = docs(spark, dir)
+      .filter(size(words) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nb - 1),
+          i => concat_ws(" ",
+            slice(words, i * blockWords + 1, lit(blockWords))))))
+      .toDF("doc_id", "blk", "blk_text")
+    val firstW = Window.partitionBy("blk_text")
+      .orderBy(col("doc_id").asc, col("blk").asc)
+    blocks
+      .withColumn("kept", row_number().over(firstW) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("blk"), col("blk_text"))))),
+          s => s.getField("blk_text"))).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "text_token_stats" -> tokenStats,
     "text_bpe_tokens" -> bpeTokenStats,
     "text_quality" -> qualityScore,
@@ -645,6 +685,37 @@ object TextOps {
                len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          ORDER BY doc_a, doc_b"""
     Map(
+      // span dedup re-derived: same blocking (1-based inclusive
+      // list_slice == Spark's slice(start, length) truncation), global
+      // first-occurrence window on the block text, ordered reassembly
+      "text_span_dedup" ->
+        """WITH d AS (
+             SELECT doc_id, string_split(text, ' ') AS words
+             FROM documents),
+           nb AS (
+             SELECT doc_id, words,
+               CAST(ceil(len(words)/8.0) AS INT) AS nblocks
+             FROM d WHERE len(words) > 0),
+           blk AS (
+             SELECT doc_id, unnest(generate_series(0, nblocks-1)) AS blk,
+               words
+             FROM nb),
+           bt AS (
+             SELECT doc_id, blk,
+               array_to_string(list_slice(words, blk*8+1, blk*8+8), ' ')
+                 AS blk_text
+             FROM blk),
+           k AS (
+             SELECT doc_id, blk, blk_text,
+               (row_number() OVER (PARTITION BY blk_text
+                  ORDER BY doc_id, blk) = 1) AS kept
+             FROM bt)
+           SELECT doc_id, count(*) AS n_blocks,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN kept THEN blk_text END, ' '
+               ORDER BY blk), '') AS dedup_text
+           FROM k GROUP BY doc_id ORDER BY doc_id""",
       "text_bpe_tokens" ->
         ("""WITH t AS (SELECT lang,
              len(regexp_extract_all(text,

@@ -210,4 +210,32 @@ class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf >= 0.8, f"IVF clustered recall $ivf%.3f")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
+
+  test("SemDeDup: one exemplar per component, least-central kept") {
+    val rows = SimOps.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // exactly one vector per embedding, each assigned to one cluster
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // kept iff own id equals the component representative
+    rows.foreach { case (id, _, _, rep, kept) =>
+      assert(kept == (id == rep))
+    }
+    // every representative is itself kept, and within a component the
+    // keeper has the MINIMAL (csim, id) — the least-central member
+    val byRep = rows.groupBy(_._4)
+    byRep.foreach { case (rep, members) =>
+      val keeper = members.find(_._1 == rep).get
+      assert(keeper._5)
+      val minKey = members.map(m => (m._3, m._1)).min
+      assert((keeper._3, keeper._1) == minKey)
+    }
+    // duplicates exist in this corpus: some component has size > 1
+    assert(byRep.values.exists(_.length > 1))
+    // components never span clusters (pairs are intra-cluster only)
+    byRep.values.foreach { ms =>
+      assert(ms.map(_._2).distinct.length == 1)
+    }
+  }
 }

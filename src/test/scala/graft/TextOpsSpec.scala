@@ -147,4 +147,30 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.toString).toSet
     assert(full == defd)
   }
+
+  test("span dedup: first occurrence survives, reassembly is ordered") {
+    val rows = TextOps.spanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(rows.size == 500)
+    // block accounting: kept <= total, and the corpus' exact-duplicate
+    // documents guarantee some losses
+    assert(rows.values.forall { case (nb, nk, _) => nk <= nb && nb > 0 })
+    assert(rows.values.exists { case (nb, nk, _) => nk < nb })
+    // a document whose every block is globally first keeps its full
+    // text verbatim (blocks rejoin with single spaces)
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fullyKept = rows.collect {
+      case (id, (nb, nk, txt)) if nb == nk => (id, txt)
+    }
+    assert(fullyKept.nonEmpty)
+    fullyKept.foreach { case (id, txt) => assert(txt == docsDf(id)) }
+    // and an exact-duplicate pair: the later doc loses ALL its blocks
+    val dupLoser = rows.collect {
+      case (id, (nb, nk, txt)) if nk == 0 => (id, txt)
+    }
+    dupLoser.foreach { case (_, txt) => assert(txt == "") }
+  }
 }
