@@ -49,6 +49,19 @@ object SimOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** One tracked persist of the normed embedding table per (session,
+    * dir) — ivfKnn/semDedup/kmeans all start from it, and handing each
+    * its own `track(withNorm(...))` re-persists an identical plan
+    * (CacheManager "already cached" warnings, duplicate registry
+    * entries). Cleared with the registry like [[pairsCache]]. */
+  private val normedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => normedCache.clear())
+
+  private def normedEmb(spark: SparkSession, dir: String): DataFrame =
+    normedCache.computeIfAbsent((spark, dir),
+      _ => graft.CacheRegistry.track(withNorm(emb(spark, dir))))
+
   /** Session-scoped cache of the all-pairs scan: `sim_neardup_groups`
     * builds on `sim_cosine_pairs` — compute once per (session, dir,
     * threshold). Invalidated whenever CacheRegistry releases the tracked
@@ -327,7 +340,7 @@ object SimOps {
     * centroid lists. */
   def ivfKnn(spark: SparkSession, dir: String,
              k: Int = 5, nProbes: Int = 10): DataFrame = {
-    val e = graft.CacheRegistry.track(withNorm(emb(spark, dir)))
+    val e = normedEmb(spark, dir)
     val n = e.count()
     val step = math.max(1L, n / IvfLists)
     val centroids = e.filter(pmod(col("vec_id"), lit(step)) === 0 &&
@@ -404,7 +417,7 @@ object SimOps {
     * lowest id. Singletons keep themselves. */
   def semDedup(spark: SparkSession, dir: String,
                threshold: Double = 0.5): DataFrame = {
-    val e = graft.CacheRegistry.track(withNorm(emb(spark, dir)))
+    val e = normedEmb(spark, dir)
     val n = e.count()
     val step = math.max(1L, n / IvfLists)
     val centroids = e.filter(pmod(col("vec_id"), lit(step)) === 0 &&
@@ -447,7 +460,72 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** Lloyd iterations for [[kmeans]]. Small and FIXED (not
+    * convergence-tested) so the oracle can replay the identical
+    * iteration count; production raises it or adds a movement
+    * threshold — the per-iteration shape is unchanged. */
+  final val KmIters = 3
+
+  /** Distributed k-means (Lloyd's algorithm), the MLlib execution
+    * shape: centroids live on the DRIVER (k×d doubles — bounded
+    * metadata, like MLlib's KMeansModel), each iteration broadcasts
+    * them, assigns every vector to its nearest centroid (squared
+    * Euclidean, rounded to 6dp for a deterministic cross-engine rank,
+    * cid tie-break), and recomputes per-dimension means DISTRIBUTED
+    * (posexplode → groupBy(cid, pos) — n·d rows hash-partitioned,
+    * skew-free by construction) before collecting the k×d result. An
+    * emptied cluster keeps its previous centroid (MLlib's rule).
+    * Deterministic init: every n/k-th vector, dense cids 0..k-1.
+    * Output: final-centroid assignment per vector with its rounded
+    * squared distance and the cluster population. */
+  def kmeans(spark: SparkSession, dir: String, k: Int = IvfLists,
+             iters: Int = KmIters): DataFrame = {
+    import spark.implicits._
+    val e = normedEmb(spark, dir)
+    val n = e.count()
+    val step = math.max(1L, n / k)
+    val d2 = (a: Column, b: Column) =>
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v), 6)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist2").asc, col("cid").asc)
+      e.join(broadcast(cent), col("vec_id").isNotNull)
+        .withColumn("dist2", d2(col("v"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist2"))
+    }
+    var cents: Map[Int, Seq[Double]] = e
+      .filter(pmod(col("vec_id"), lit(step)) === 0 &&
+        col("vec_id") < step * k)
+      .select((col("vec_id") / step).cast("int").as("cid"), col("v"))
+      .as[(Int, Seq[Double])].collect().toMap
+    def centDf(c: Map[Int, Seq[Double]]): DataFrame =
+      c.toSeq.sortBy(_._1).toDF("cid", "cv")
+    for (_ <- 1 to iters) {
+      val means = assign(centDf(cents))
+        .select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "pos", "x")
+        .groupBy("cid", "pos").agg(round(avg("x"), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) =>
+        cid -> means.getOrElse(cid, old) // empty cluster keeps its centroid
+      }
+    }
+    val popW = Window.partitionBy("cluster")
+    assign(centDf(cents))
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist2"))
+      .withColumn("n_members", count(lit(1)).over(popW))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> ((s, d) => kmeans(s, d)),
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
     "sim_cosine_pairs" -> ((s, d) => cosinePairsAuto(s, d)),
     "sim_knn_brute" -> ((s, d) => knnBrute(s, d)),
@@ -485,7 +563,46 @@ object SimOps {
               USING (probe_id, neighbor))::DOUBLE /
              (SELECT count(*) FROM brute) AS r)
          SELECT s.* FROM spark s WHERE (SELECT r FROM recall) >= $floor"""
+    // Lloyd's replayed in SQL: one (assign, means, update) CTE triple
+    // per iteration, same deterministic init, same rounded-distance
+    // rank, same empty-cluster fallback, then the final assignment.
+    val kmDist = (v: String, cv: String) =>
+      s"round(list_sum(list_transform(list_zip($v, $cv), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
+    def kmAssign(name: String, prev: String) =
+      s"""$name AS (SELECT vec_id, cid, dist2 FROM (
+            SELECT vec_id, cid, dist2, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM (SELECT e.vec_id, c.cid,
+                    ${kmDist("e.v", "c.cv")} AS dist2
+                  FROM em e CROSS JOIN $prev c))
+          WHERE rn = 1)"""
+    val kmIterCtes = (1 to KmIters).map { i =>
+      s"""${kmAssign(s"a$i", s"c${i - 1}")},
+          m$i AS (SELECT a.cid, u.i AS pos, round(avg(e.v[u.i]), 6) AS m
+                  FROM a$i a JOIN em e USING (vec_id),
+                       UNNEST(generate_series(1, len(e.v))) AS u(i)
+                  GROUP BY 1, 2),
+          c$i AS (SELECT c.cid, coalesce(g.cv, c.cv) AS cv
+                  FROM c${i - 1} c LEFT JOIN
+                    (SELECT cid, list(m ORDER BY pos) AS cv
+                     FROM m$i GROUP BY cid) g USING (cid))"""
+    }.mkString(",\n")
+    val kmeansSql =
+      s"""WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+          stepc AS (SELECT greatest(1, count(*)//$IvfLists) AS step
+                    FROM em),
+          c0 AS (SELECT CAST(vec_id // step AS INT) AS cid, v AS cv
+                 FROM em, stepc
+                 WHERE vec_id % step = 0 AND vec_id < step*$IvfLists),
+          $kmIterCtes,
+          ${kmAssign("af", s"c$KmIters")}
+          SELECT vec_id, cid AS cluster, dist2,
+            count(*) OVER (PARTITION BY cid) AS n_members
+          FROM af ORDER BY vec_id"""
     Map(
+      "sim_kmeans" -> kmeansSql,
       // SemDeDup re-derived END TO END: centroid sampling, nearest-
       // centroid assignment (rounded-cosine rank, cid tie-break),
       // within-cluster pair discovery, an independent recursive-CTE

@@ -211,6 +211,30 @@ class SimOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("kmeans: total assignment, Lloyd objective descends, deterministic") {
+    def run(iters: Int) = SimOps.kmeans(spark, dir, iters = iters).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val rows = run(SimOps.KmIters)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // every vector assigned exactly once, to a dense cluster id
+    assert(rows.length == n)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (_, c, d, _) =>
+      c >= 0 && c < SimOps.IvfLists && d >= 0.0 })
+    // n_members is the actual cluster population
+    val pops = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (_, c, _, m) => assert(m == pops(c)) }
+    // Lloyd's invariant: 3 update rounds never worsen the objective vs
+    // assigning against the raw init centroids (epsilon for the 6dp
+    // per-iteration rounding)
+    val obj0 = run(0).map(_._3).sum
+    val obj3 = rows.map(_._3).sum
+    assert(obj3 <= obj0 + 1e-3, s"objective rose: $obj0 -> $obj3")
+    assert(obj3 < obj0, "3 Lloyd rounds should strictly improve here")
+    // deterministic across runs (driver-collected means notwithstanding)
+    assert(run(SimOps.KmIters).toSeq == rows.toSeq)
+  }
+
   test("SemDeDup: one exemplar per component, least-central kept") {
     val rows = SimOps.semDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
