@@ -162,6 +162,30 @@ object StreamOps {
         .orderBy("user_id", "session_start")
     }
 
+  /** Streaming dedup-on-ingest, driver-verified: the third stateful
+    * streaming primitive a training-data pipeline needs (alongside
+    * windowed aggregation and sessionization) — duplicate suppression at
+    * the door via `dropDuplicatesWithinWatermark`. Keys are
+    * (user_id, event_type); state holds ONE entry per distinct key seen
+    * within the watermark horizon (evicted as event time advances), so
+    * state size is bounded by key cardinality per horizon, not stream
+    * length — the property that keeps this viable on an unbounded
+    * 100 TB ingest. Deduped rows append immediately (no window-close
+    * wait); WHICH physical row survives per key is arrival-order-
+    * dependent, so the query projects the KEY COLUMNS only, making the
+    * output exactly the distinct key set — re-derived by the batch
+    * oracle. Sentinel rows carry user_id = -1, dropped at read-back. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir) { stream =>
+      stream.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    } { readBack =>
+      readBack.filter(col("user_id") >= 0)
+        .orderBy("user_id", "event_type")
+    }
+
   /** The staging machinery shared by the driver-verified streaming
     * queries: copy the events table into a temp dir as a file-stream
     * backlog, append three far-future sentinel files (watermark flush —
@@ -237,6 +261,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_event_counts" -> streamEventCounts,
     "stream_sessions" -> ((s, d) => streamSessions(s, d)),
+    "stream_dedup" -> streamDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +286,9 @@ object StreamOps {
            count(*) AS n_events
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // dedup-on-ingest == batch distinct over the key set
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
   )
 }

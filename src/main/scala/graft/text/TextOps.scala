@@ -339,6 +339,19 @@ object TextOps {
               element_at(col("w"), i + 3))))).as("shingle"))
   }
 
+  /** One tracked persist of the shingle index per (session, dir):
+    * jaccard, decontamination and dedup-apply all start from it, and
+    * per-operator `track(shingles(...))` re-persisted the identical
+    * plan (CacheManager "already cached" warnings). Cleared with the
+    * registry (same pattern as SimOps.normedCache). */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => shingleCache.clear())
+
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent((spark, dir),
+      _ => graft.CacheRegistry.track(shingles(spark, dir)))
+
   /** Test-set decontamination — the n-gram-collision check the published
     * LLM training recipes run before training (GPT-3 appendix C / PaLM
     * style): a held-out benchmark slice of the corpus (doc_id %
@@ -358,8 +371,7 @@ object TextOps {
     // measured consistently over the capped shingle space (same
     // approximation trade capDf documents; the default is a no-op on
     // healthy corpora, which is what the uncapped oracle checks)
-    val sh = capDf(graft.CacheRegistry.track(shingles(spark, dir)),
-      Seq("shingle"), maxDf)
+    val sh = capDf(shingleIndex(spark, dir), Seq("shingle"), maxDf)
     val bench = sh.filter(col("doc_id") % benchMod === 0)
     val train = sh.filter(col("doc_id") % benchMod =!= 0)
     val trainSizes = train
@@ -384,7 +396,7 @@ object TextOps {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.8,
                         maxDf: Int = MaxDf): DataFrame = {
-    val sh0 = graft.CacheRegistry.track(shingles(spark, dir))
+    val sh0 = shingleIndex(spark, dir)
     val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sh = capDf(sh0, Seq("shingle"), maxDf) // hot-shingle guard
     val inter = sh.as("a").join(sh.as("b"),
@@ -470,7 +482,7 @@ object TextOps {
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.8,
                       maxDf: Int = MaxDf): DataFrame = {
-    val sh = graft.CacheRegistry.track(shingles(spark, dir))
+    val sh = shingleIndex(spark, dir)
     val sig = minhashSignatures(sh)
     val rows = MinhashPerms / Bands
     val banded0 = sig.select(col("doc_id"),
@@ -634,7 +646,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * language, rank documents by LM score and cut into head/middle/tail
+    * terciles — the standard quality-stratification step before
+    * sampling decides how much of each bucket to train on. The LM is
+    * [[charLmScore]]'s corpus-trained char-bigram model (production
+    * swaps in KenLM; the bucketing plan is unchanged): one ntile window
+    * per language partition, deterministic total order (score, doc_id).
+    * At 100 TB the window partitions by language — dozens of
+    * partitions, each internally sort-distributed; no global sort. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_nats").asc, col("doc_id").asc)
+    charLmScore(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("bucket_name", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), col("bucket")))
+      .select(col("doc_id"), col("lang"), col("avg_nats"), col("bucket"),
+        col("bucket_name"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction (the C4/Dolma scrub step): emails, phone numbers and
+    * IPv4 addresses replaced with typed mask tokens, per-kind match
+    * counts kept for audit. A narrow per-row map — no shuffle, scales
+    * linearly. The synthetic corpus carries no PII (by design: nothing
+    * real to leak), so the query PLANTS deterministic PII spans first —
+    * doc_id-derived, identically re-derived by the oracle — and the
+    * redaction runs against real matches rather than vacuously. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val aug = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" from 10."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+          pmod(floor(col("doc_id") / 7), lit(256)).cast("string")))
+        .otherwise(lit("")))
+    def cnt(c: Column, p: String): Column =
+      size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    docs(spark, dir)
+      .withColumn("aug", aug)
+      .select(col("doc_id"),
+        cnt(col("aug"), email).as("n_emails"),
+        cnt(col("aug"), phone).as("n_phones"),
+        cnt(col("aug"), ip).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+          .as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ppl_buckets" -> pplBuckets,
+    "text_pii_redact" -> piiRedact,
     "text_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "text_token_stats" -> tokenStats,
     "text_bpe_tokens" -> bpeTokenStats,
@@ -670,6 +744,23 @@ object TextOps {
     * (simhash pairs get a rows-only check — hamming-over-simhash is not
     * expressible without replicating the signature function). */
   val oracleSql: Map[String, String] = {
+    // the add-one char-bigram model re-trained in SQL — shared by the
+    // raw LM score oracle and the CCNet bucketing oracle
+    val charLmCtes =
+      """bi AS (SELECT doc_id,
+             unnest([substr(text, i, 2) for i in range(1, length(text))])
+               AS bg
+           FROM documents WHERE length(text) >= 2),
+           counts AS (SELECT doc_id, bg, count(*) AS c
+                      FROM bi GROUP BY 1, 2),
+           mc AS (SELECT bg, sum(c) AS cb FROM counts GROUP BY 1),
+           ctx AS (SELECT substr(bg, 1, 1) AS a, sum(cb) AS ca
+                   FROM mc GROUP BY 1),
+           v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM mc),
+           model AS (SELECT bg,
+               cast(round(-ln((cb + 1)::DOUBLE / (ca + v.v)) * 1e6)
+                 AS bigint) AS lp_micro
+             FROM mc JOIN ctx ON substr(mc.bg, 1, 1) = ctx.a CROSS JOIN v)"""
     val bruteJaccard =
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w
            FROM documents),
@@ -837,25 +928,55 @@ object TextOps {
       // add-one char-bigram LM re-trained in SQL; integer micro-nat
       // costs make the document sums exact in both engines
       "text_char_lm" ->
-        """WITH bi AS (SELECT doc_id,
-             unnest([substr(text, i, 2) for i in range(1, length(text))])
-               AS bg
-           FROM documents WHERE length(text) >= 2),
-           counts AS (SELECT doc_id, bg, count(*) AS c
-                      FROM bi GROUP BY 1, 2),
-           mc AS (SELECT bg, sum(c) AS cb FROM counts GROUP BY 1),
-           ctx AS (SELECT substr(bg, 1, 1) AS a, sum(cb) AS ca
-                   FROM mc GROUP BY 1),
-           v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM mc),
-           model AS (SELECT bg,
-               cast(round(-ln((cb + 1)::DOUBLE / (ca + v.v)) * 1e6)
-                 AS bigint) AS lp_micro
-             FROM mc JOIN ctx ON substr(mc.bg, 1, 1) = ctx.a CROSS JOIN v)
+        s"""WITH $charLmCtes
            SELECT c.doc_id, cast(sum(c.c) AS bigint) AS n_bigrams,
              round(sum(c.c * m.lp_micro)::DOUBLE / sum(c.c) / 1e6, 4)
                AS avg_nats
            FROM counts c JOIN model m USING (bg)
            GROUP BY 1 ORDER BY 1""",
+      // CCNet bucketing over the same re-trained model: per-language
+      // ntile terciles under the identical (score, doc_id) total order
+      "text_ppl_buckets" ->
+        s"""WITH $charLmCtes,
+           lm AS (SELECT c.doc_id,
+               round(sum(c.c * m.lp_micro)::DOUBLE / sum(c.c) / 1e6, 4)
+                 AS avg_nats
+             FROM counts c JOIN model m USING (bg) GROUP BY 1),
+           b AS (SELECT l.doc_id, d.lang, l.avg_nats,
+               CAST(ntile(3) OVER (PARTITION BY d.lang
+                 ORDER BY l.avg_nats ASC, l.doc_id ASC) AS INT) AS bucket
+             FROM lm l JOIN documents d USING (doc_id))
+           SELECT doc_id, lang, avg_nats, bucket,
+             CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket_name
+           FROM b ORDER BY doc_id""",
+      // PII scrub re-derived: identical deterministic planting, same
+      // patterns (DuckDB needs the explicit 'g' flag; Spark's
+      // regexp_replace is global by default)
+      "text_pii_redact" ->
+        """WITH aug AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id ||
+               '@example.com now' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' from 10.' ||
+               (doc_id % 256) || '.0.' || ((doc_id // 7) % 256)
+               ELSE '' END AS a
+           FROM documents)
+           SELECT doc_id,
+             len(regexp_extract_all(a,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+               AS n_emails,
+             len(regexp_extract_all(a, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+               ::BIGINT AS n_phones,
+             len(regexp_extract_all(a, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+               ::BIGINT AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(a,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+           FROM aug ORDER BY doc_id""",
       // same multiplicative hash, exact integer arithmetic both engines
       "text_stratified_sample" ->
         """WITH h AS (SELECT lang, doc_id,

@@ -69,6 +69,22 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_.getString(1) == StreamOps.FlushSentinel))
   }
 
+  test("streamDedup: streaming key-state dedup equals batch distinct") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamOps.streamDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // the stream genuinely suppressed duplicates (events >> distinct keys)
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(got.size < n)
+    assert(!got.exists(_._1 < 0)) // sentinels dropped
+  }
+
   test("sessionize: batch-mode state function groups per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -148,6 +148,50 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == defd)
   }
 
+  test("ppl buckets: exact per-language terciles of the LM score") {
+    val rows = TextOps.pplBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, b, n) =>
+      b >= 1 && b <= 3 &&
+        n == Seq("head", "middle", "tail")(b - 1) })
+    // recompute ntile(3) locally under the same (score, id) total order
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val sorted = members.sortBy(m => (m._3, m._1))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case (m, i) =>
+        // SQL ntile: first (n mod 3) buckets get ceil(n/3), rest floor
+        val big = n % 3
+        val cap = n / 3 + 1
+        val expected =
+          if (big == 0) i / math.max(1, n / 3) + 1
+          else if (i < big * cap) i / cap + 1
+          else big + (i - big * cap) / (n / 3) + 1
+        assert(m._4 == math.min(expected, 3),
+          s"doc ${m._1}: bucket ${m._4} != $expected (n=$n, i=$i)")
+      }
+    }
+  }
+
+  test("pii redact: planted spans are counted and masked, none survive") {
+    val rows = TextOps.piiRedact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.length == 500)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}".r
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}".r
+    rows.foreach { case (id, ne, np, ni, red) =>
+      if (id % 5 == 0) assert(ne >= 1 && red.contains("<EMAIL>"))
+      if (id % 7 == 0) assert(np >= 1 && red.contains("<PHONE>"))
+      if (id % 11 == 0) assert(ni >= 1 && red.contains("<IP>"))
+      assert(email.findFirstIn(red).isEmpty, s"doc $id leaks an email")
+      assert(phone.findFirstIn(red).isEmpty, s"doc $id leaks a phone")
+      assert(ip.findFirstIn(red).isEmpty, s"doc $id leaks an ip")
+    }
+  }
+
   test("span dedup: first occurrence survives, reassembly is ordered") {
     val rows = TextOps.spanDedup(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
