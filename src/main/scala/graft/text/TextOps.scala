@@ -706,7 +706,98 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF with top-k characteristic terms per document — the
+    * classic keyword-extraction / doc-representation step. All
+    * relational: term counts (one shuffle on (doc, term)), document
+    * frequencies (one on term), smoothed idf in integer micro-nats
+    * (the [[charLmScore]] fixed-point discipline: ln is the only
+    * transcendental, snapped to 1e-6 so both engines agree), a top-k
+    * window per doc. df is a broadcast-sized dimension (vocabulary,
+    * not corpus rows) — the join to it broadcasts. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = docs(spark, dir).select(countDistinct("doc_id").as("n"))
+    val idf = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        round(log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6)
+          .cast("long").as("idf_micro"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_micro").desc, col("term").asc)
+    tf.join(broadcast(idf), "term")
+      .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        round(col("tfidf_micro") / 1e6, 4).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Gradient-descent iterations for [[lrQuality]] — fixed (not
+    * convergence-tested) so the oracle replays the identical chain. */
+  final val LrIters = 3
+
+  /** A trained quality CLASSIFIER (the fastText-classifier slot in the
+    * published curation pipelines, e.g. GPT-3's quality LR) as the
+    * canonical distributed TRAINING loop: weights live on the DRIVER
+    * (d+1 doubles), each iteration computes the full-batch logistic
+    * gradient as ONE distributed aggregation (avg of per-row gradient
+    * terms — a map-side-combined tree aggregate, no shuffle of rows),
+    * then updates weights driver-side. The same shape MLlib's
+    * LogisticRegression runs per iteration; at 100 TB each step is one
+    * pass, network cost O(d) per executor. Cross-engine determinism:
+    * features reuse [[qualityScore]]'s rounded signals, gradients and
+    * weights snap to 6dp each step (the kmeans discipline), scores to
+    * 4dp. Labels are the heuristic low_quality flag — the classifier
+    * DISTILLS the rule into a smooth ranker (production swaps in human
+    * labels; the training loop is unchanged). */
+  def lrQuality(spark: SparkSession, dir: String, iters: Int = LrIters,
+                rate: Double = 1.0): DataFrame = {
+    val f = featCache.computeIfAbsent((spark, dir),
+      _ => graft.CacheRegistry.track(lrFeatures(spark, dir)))
+    val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+    def p(w: IndexedSeq[Double]): Column = {
+      val z = w.zip(xs).map { case (wj, xj) => lit(wj) * xj }
+        .reduce(_ + _)
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var w: IndexedSeq[Double] = IndexedSeq.fill(5)(0.0)
+    for (_ <- 1 to iters) {
+      val gRow = f.agg(
+        round(avg((p(w) - col("y")) * xs.head), 6).as("g0"),
+        xs.tail.zipWithIndex.map { case (xj, j) =>
+          round(avg((p(w) - col("y")) * xj), 6).as(s"g${j + 1}")
+        }: _*).first()
+      w = w.indices.map(j => round6(w(j) - rate * gRow.getDouble(j)))
+    }
+    f.select(col("doc_id"), round(p(w), 4).as("score"),
+        col("y").cast("int").as("label"))
+      .withColumn("predicted", col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val featCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => featCache.clear())
+
+  /** The classifier's feature frame: [[qualityScore]]'s signals, scaled
+    * to O(1) ranges, with the heuristic flag as the 0/1 label. */
+  private def lrFeatures(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir).select(col("doc_id"),
+      (col("n_tokens") / 100.0).as("x1"),
+      col("stopword_ratio").as("x2"),
+      (col("mean_token_len") / 10.0).as("x3"),
+      (col("n_punct") / 100.0).as("x4"),
+      when(col("low_quality"), 1.0).otherwise(0.0).as("y"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lr_quality" -> ((s, d) => lrQuality(s, d)),
+    "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_ppl_buckets" -> pplBuckets,
     "text_pii_redact" -> piiRedact,
     "text_span_dedup" -> ((s, d) => spanDedup(s, d)),
@@ -761,6 +852,58 @@ object TextOps {
                cast(round(-ln((cb + 1)::DOUBLE / (ca + v.v)) * 1e6)
                  AS bigint) AS lp_micro
              FROM mc JOIN ctx ON substr(mc.bg, 1, 1) = ctx.a CROSS JOIN v)"""
+    // logistic-regression training replayed in SQL: one (gradient,
+    // weight-update) CTE pair per iteration, same 6dp snapping, then
+    // the final scoring pass — mirrors lrQuality exactly
+    val lrSql = {
+      val feats =
+        """f AS (SELECT doc_id,
+             len(toks)/100.0 AS x1,
+             round(len(list_filter(toks, t ->
+               t IN ('the','a','of','and','to')))::DOUBLE
+               / len(toks), 4) AS x2,
+             round(n_nonspace::DOUBLE / len(toks), 4)/10.0 AS x3,
+             n_punct/100.0 AS x4,
+             CASE WHEN len(toks) < 20 OR
+               round(len(list_filter(toks, t ->
+                 t IN ('the','a','of','and','to')))::DOUBLE
+                 / len(toks), 4) > 0.5
+               THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS toks,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+               length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+             FROM documents))"""
+      def z(w: Int => String) =
+        s"(${w(0)} + ${w(1)}*x1 + ${w(2)}*x2 + ${w(3)}*x3 + ${w(4)}*x4)"
+      val xs = Seq("1.0", "x1", "x2", "x3", "x4")
+      def gradCte(i: Int, wRef: Int => String, from: String) = {
+        val gs = xs.zipWithIndex.map { case (xj, j) =>
+          s"round(avg((p - y)*$xj), 6) AS g$j" }.mkString(", ")
+        s"""g$i AS (SELECT $gs FROM
+              (SELECT f.*, 1.0/(1.0+exp(-${z(wRef)})) AS p FROM $from))"""
+      }
+      val iterCtes = (1 to LrIters).map { i =>
+        val (wRef, from) =
+          if (i == 1) ((_: Int) => "0.0", "f")
+          else ((j: Int) => s"w.w$j", s"f CROSS JOIN w${i - 1} w")
+        val ws = (0 to 4).map { j =>
+          val prev = if (i == 1) "0.0" else s"w.w$j"
+          s"round($prev - 1.0*g.g$j, 6) AS w$j" }.mkString(", ")
+        val wFrom =
+          if (i == 1) s"g$i g" else s"w${i - 1} w CROSS JOIN g$i g"
+        s"""${gradCte(i, wRef, from)},
+            w$i AS (SELECT $ws FROM $wFrom)"""
+      }.mkString(",\n")
+      s"""WITH $feats,
+          $iterCtes
+          SELECT doc_id,
+            round(1.0/(1.0+exp(-${z(j => s"w.w$j")})), 4) AS score,
+            CAST(y AS INT) AS label,
+            (round(1.0/(1.0+exp(-${z(j => s"w.w$j")})), 4) >= 0.5)
+              AS predicted
+          FROM f CROSS JOIN w$LrIters w ORDER BY doc_id"""
+    }
     val bruteJaccard =
       """WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w
            FROM documents),
@@ -934,6 +1077,26 @@ object TextOps {
                AS avg_nats
            FROM counts c JOIN model m USING (bg)
            GROUP BY 1 ORDER BY 1""",
+      "text_lr_quality" -> lrSql,
+      "text_tfidf_topk" ->
+        """WITH tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(trim(text), '\S+')) AS term
+             FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS tf
+                  FROM tok GROUP BY 1, 2),
+           nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           idf AS (SELECT term,
+               cast(round(ln((n + 1.0) / (count(DISTINCT doc_id) + 1.0))
+                 * 1e6) AS bigint) AS idf_micro
+             FROM tf CROSS JOIN nd GROUP BY term, n),
+           s AS (SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * idf.idf_micro AS tfidf_micro,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * idf.idf_micro DESC, tf.term ASC) AS rk
+             FROM tf JOIN idf USING (term))
+           SELECT doc_id, CAST(rk AS INT) AS rk, term, tf,
+             round(tfidf_micro / 1e6, 4) AS tfidf
+           FROM s WHERE rk <= 5 ORDER BY doc_id, rk""",
       // CCNet bucketing over the same re-trained model: per-language
       // ntile terciles under the identical (score, doc_id) total order
       "text_ppl_buckets" ->

@@ -148,6 +148,66 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == defd)
   }
 
+  test("tfidf top-k: exact against a local recompute") {
+    val rows = TextOps.tfidfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val n = texts.length
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expected = tf.flatMap { case (id, counts) =>
+      counts.toSeq.map { case (term, c) =>
+        val idfMicro = math.round(
+          math.log((n + 1.0) / (df(term) + 1.0)) * 1e6)
+        (id, term, c, c * idfMicro)
+      }.sortBy { case (_, term, _, m) => (-m, term) }
+        .take(5).zipWithIndex.map { case ((_, term, c, m), i) =>
+          (id, i + 1, term, c,
+            BigDecimal(m).bigDecimal.movePointLeft(6)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+        }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == expected)
+  }
+
+  test("lr quality: deterministic training, sane scores") {
+    val rows = TextOps.lrQuality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, s, y, pred) =>
+      assert(s >= 0.0 && s <= 1.0)
+      assert(y == 0 || y == 1)
+      assert(pred == (s >= 0.5))
+    }
+    // the weights actually moved off the origin (scores not all 0.5)
+    assert(rows.map(_._2).distinct.length > 1)
+    assert(rows.exists(_._2 != 0.5))
+    // labels match the heuristic flag the classifier distills
+    val flags = TextOps.qualityScore(spark, dir)
+      .select("doc_id", "low_quality").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, _, y, _) => assert((y == 1) == flags(id)) }
+    // 3 full-batch GD steps descend the logloss vs the w=0 start (ln 2)
+    def ll(p: Double, y: Int): Double = {
+      val q = math.min(math.max(p, 1e-6), 1 - 1e-6)
+      -(y * math.log(q) + (1 - y) * math.log(1 - q))
+    }
+    val loss = rows.map { case (_, s, y, _) => ll(s, y) }.sum / rows.length
+    assert(loss < math.log(2.0), s"logloss $loss did not descend")
+    // deterministic across runs
+    assert(TextOps.lrQuality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      rows.map(r => (r._1, r._2)).toSeq)
+  }
+
   test("ppl buckets: exact per-language terciles of the LM score") {
     val rows = TextOps.pplBuckets(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
