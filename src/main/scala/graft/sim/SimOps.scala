@@ -49,18 +49,23 @@ object SimOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** One tracked persist of the normed embedding table per (session,
-    * dir) — ivfKnn/semDedup/kmeans all start from it, and handing each
-    * its own `track(withNorm(...))` re-persists an identical plan
-    * (CacheManager "already cached" warnings, duplicate registry
+  /** One tracked persist per (tag, session, dir) — operators re-invoked
+    * in the same session (bench min-of-2 passes, PlanShapeSpec's
+    * warm-then-inspect double call) would otherwise re-persist identical
+    * plans (CacheManager "already cached" warnings, duplicate registry
     * entries). Cleared with the registry like [[pairsCache]]. */
-  private val normedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  graft.CacheRegistry.onRelease(() => normedCache.clear())
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => memo.clear())
 
+  private def memoTrack(tag: String, spark: SparkSession, dir: String)
+                       (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((tag, spark, dir),
+      _ => graft.CacheRegistry.track(build))
+
+  /** The normed embedding table — ivfKnn/semDedup/kmeans all start here. */
   private def normedEmb(spark: SparkSession, dir: String): DataFrame =
-    normedCache.computeIfAbsent((spark, dir),
-      _ => graft.CacheRegistry.track(withNorm(emb(spark, dir))))
+    memoTrack("normed", spark, dir)(withNorm(emb(spark, dir)))
 
   /** Session-scoped cache of the all-pairs scan: `sim_neardup_groups`
     * builds on `sim_cosine_pairs` — compute once per (session, dir,
@@ -310,7 +315,8 @@ object SimOps {
   def lshKnn(spark: SparkSession, dir: String,
              k: Int = 5, nProbes: Int = 10): DataFrame = {
     val e = withNorm(emb(spark, dir))
-    val buckets = graft.CacheRegistry.track(capBuckets(lshBuckets(e)))
+    val buckets =
+      memoTrack("lshBuckets", spark, dir)(capBuckets(lshBuckets(e)))
     val probes = buckets.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn"), col("table"), col("bucket"))
@@ -426,7 +432,7 @@ object SimOps {
         col("nrm").as("cn"))
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = graft.CacheRegistry.track(
+    val assigned = memoTrack("semAssigned", spark, dir)(
       e.join(broadcast(centroids), col("vec_id").isNotNull)
         .withColumn("csim",
           round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
