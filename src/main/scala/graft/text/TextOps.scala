@@ -795,7 +795,58 @@ object TextOps {
       (col("n_punct") / 100.0).as("x4"),
       when(col("low_quality"), 1.0).otherwise(0.0).as("y"))
 
+  /** JSONL export — the delivery format training pipelines hand to the
+    * tokenizer/loader stage. One compact JSON object per document
+    * (fixed field order, Jackson-standard escaping), produced by the
+    * codegen'd `to_json` over a struct: a narrow per-row map, no
+    * shuffle, writable straight to a text sink at any scale. The oracle
+    * is BYTE-level: DuckDB's compact `to_json` serialization agrees
+    * with Jackson's on this schema (verified: \n/\t/quote escaping,
+    * non-ASCII passthrough, integer formats), so the export is checked
+    * as bytes, not just re-parsed semantics. */
+  def jsonlExport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))).as("jsonl"))
+      .orderBy("doc_id")
+
+  /** Incremental (cross-snapshot) exact dedup via a Bloom filter — the
+    * sketch that makes "is this crawl batch new?" an O(bits) broadcast
+    * instead of a join against every prior snapshot. The PRIOR corpus
+    * (here doc_id % `mod` != 0 stands in for already-ingested
+    * snapshots) builds a content-hash Bloom filter with one distributed
+    * aggregation; INCOMING rows probe the broadcast filter in a narrow
+    * map. No false negatives by construction (a true duplicate always
+    * probes seen); false positives lose novel docs at the configured
+    * fpp — the standard trade, priced against re-shuffling petabytes of
+    * history. The oracle is identity-with-assertion (the ANN pattern):
+    * Spark's output compared to itself, GATED on zero false negatives
+    * and an fp count within budget vs the exact SQL join. */
+  def bloomDedup(spark: SparkSession, dir: String, mod: Int = 4,
+                 fpp: Double = 0.03): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val prior = d.filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+    // the incoming batch = genuinely new docs (doc_id % mod == 0) plus
+    // RE-CRAWLS of prior-snapshot docs (doc_id % 10 == 1 — odd ids, so
+    // disjoint from the new slice): identical text refetched, exactly
+    // how an incremental crawl produces cross-snapshot duplicates
+    val incoming = d.filter(pmod(col("doc_id"), lit(mod)) === 0 ||
+      pmod(col("doc_id"), lit(10)) === 1)
+    val bf = prior.stat.bloomFilter("h", math.max(prior.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((h: String) => bfB.value.mightContainString(h))
+    incoming
+      .withColumn("maybe_seen", mightContain(col("h")))
+      .select(col("doc_id"), col("maybe_seen"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bloom_dedup" -> ((s, d) => bloomDedup(s, d)),
+    "text_jsonl_export" -> jsonlExport,
     "text_lr_quality" -> ((s, d) => lrQuality(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_ppl_buckets" -> pplBuckets,
@@ -1078,6 +1129,35 @@ object TextOps {
            FROM counts c JOIN model m USING (bg)
            GROUP BY 1 ORDER BY 1""",
       "text_lr_quality" -> lrSql,
+      // identity-with-assertion: the Bloom probe output is hash-compared
+      // to itself, GATED on (a) zero false negatives vs the exact
+      // cross-snapshot join and (b) false positives within ~3x the 3%
+      // fpp budget (empty result = a gate tripped)
+      "text_bloom_dedup" ->
+        """WITH spark AS (SELECT * FROM
+             read_parquet('__OUT__/text_bloom_dedup/*.parquet')),
+           d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+           exact AS (SELECT i.doc_id,
+               EXISTS (SELECT 1 FROM d p
+                       WHERE p.doc_id % 4 <> 0 AND p.h = i.h) AS seen
+             FROM d i WHERE i.doc_id % 4 = 0 OR i.doc_id % 10 = 1),
+           j AS (SELECT s.doc_id, s.maybe_seen, e.seen
+                 FROM spark s JOIN exact e USING (doc_id)),
+           gates AS (SELECT
+               count(*) FILTER (seen AND NOT maybe_seen) AS fn,
+               count(*) FILTER (maybe_seen AND NOT seen) AS fp,
+               count(*) FILTER (NOT seen) AS novel
+             FROM j)
+           SELECT s.* FROM spark s
+           WHERE (SELECT fn FROM gates) = 0
+             AND (SELECT fp FROM gates) <=
+                 greatest(3, CAST(0.09 * (SELECT novel FROM gates) AS BIGINT))""",
+      // byte-level: DuckDB's compact to_json == Jackson's on this schema
+      "text_jsonl_export" ->
+        """SELECT doc_id,
+             to_json({'doc_id': doc_id, 'lang': lang, 'source': source,
+                      'n_chars': n_chars, 'text': text})::VARCHAR AS jsonl
+           FROM documents ORDER BY doc_id""",
       "text_tfidf_topk" ->
         """WITH tok AS (SELECT doc_id,
                unnest(regexp_extract_all(trim(text), '\S+')) AS term

@@ -148,6 +148,52 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == defd)
   }
 
+  test("bloom dedup: no false negatives, fp within budget, deterministic") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.bloomDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val priorH = d.filter(col("doc_id") % 4 =!= 0)
+      .select("h").collect().map(_.getString(0)).toSet
+    val exact = d.filter(col("doc_id") % 4 === 0 || col("doc_id") % 10 === 1)
+      .collect()
+      .map(r => r.getLong(0) -> priorH.contains(r.getString(1))).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    // a true duplicate can never probe novel
+    exact.foreach { case (id, seen) => if (seen) assert(got(id)) }
+    // dup pairs exist across the split in this corpus
+    assert(exact.values.exists(identity))
+    // false-positive count within ~3x the 3% fpp budget
+    val novel = exact.count(!_._2)
+    val fps = exact.count { case (id, seen) => !seen && got(id) }
+    assert(fps <= math.max(3, (0.09 * novel).toInt),
+      s"$fps false positives over $novel novel docs")
+    assert(TextOps.bloomDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap == got)
+  }
+
+  test("jsonl export: parseable round-trip, fields intact") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.jsonlExport(spark, dir)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val back = out.select(
+        from_json(col("jsonl"),
+          org.apache.spark.sql.types.StructType(
+            schema.fields.sortBy(f =>
+              Seq("doc_id", "lang", "source", "n_chars", "text")
+                .indexOf(f.name)))).as("d"))
+      .select("d.doc_id", "d.text", "d.lang", "d.source", "d.n_chars")
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // one compact object per line, no raw newlines inside
+    out.collect().foreach { r =>
+      val s = r.getString(1)
+      assert(s.startsWith("{\"doc_id\":") && !s.contains("\n"))
+    }
+  }
+
   test("tfidf top-k: exact against a local recompute") {
     val rows = TextOps.tfidfTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
