@@ -444,11 +444,14 @@ object SimOps {
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("idb"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cid"))
-      .filter(col("ida") < col("idb") &&
-        dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
-      .select(col("ida").cast("string").as("src"),
-        col("idb").cast("string").as("dst"))
+    // persist the within-cluster pair table: Cc's size-gate probes and
+    // collect would otherwise re-run the pair join once per action
+    val pairs = memoTrack(s"semPairs:$threshold", spark, dir)(
+      a.join(b, Seq("cid"))
+        .filter(col("ida") < col("idb") &&
+          dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        .select(col("ida").cast("string").as("src"),
+          col("idb").cast("string").as("dst")))
     val comp = graft.kg.Cc.connectedComponents(pairs)
       .select(col("uri").cast("long").as("vec_id"), col("canon"))
     val withComp = assigned.select("vec_id", "cid", "csim")

@@ -172,9 +172,13 @@ object TextOps {
     * numeric min per component, independent of Cc's string labels. */
   def dedupApply(spark: SparkSession, dir: String,
                  threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, threshold)
-      .select(col("doc_a").cast("string").as("src"),
-        col("doc_b").cast("string").as("dst"))
+    // persist the pair table: Cc's size-gate probes (bounded count, row
+    // width) plus its collect would otherwise re-run the full inverted-
+    // index pair scan once per action (measured 3x the scan cost)
+    val pairs = memoTrack(s"dedupPairs:$threshold", spark, dir)(
+      ngramJaccardPairs(spark, dir, threshold)
+        .select(col("doc_a").cast("string").as("src"),
+          col("doc_b").cast("string").as("dst")))
     val groups = graft.kg.Cc.connectedComponents(pairs)
     val reps = groups.groupBy("canon")
       .agg(min(col("uri").cast("long")).as("keeper"))
@@ -339,18 +343,23 @@ object TextOps {
               element_at(col("w"), i + 3))))).as("shingle"))
   }
 
-  /** One tracked persist of the shingle index per (session, dir):
-    * jaccard, decontamination and dedup-apply all start from it, and
-    * per-operator `track(shingles(...))` re-persisted the identical
-    * plan (CacheManager "already cached" warnings). Cleared with the
-    * registry (same pattern as SimOps.normedCache). */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  graft.CacheRegistry.onRelease(() => shingleCache.clear())
+  /** One tracked persist per (tag, session, dir) — re-invoked operators
+    * and operators composing over a shared intermediate (the shingle
+    * index, the LR feature frame, dedup-apply's pair table) would
+    * otherwise re-persist identical plans or recompute an expensive
+    * subtree per action. Cleared with the registry (same pattern as
+    * SimOps). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => memo.clear())
+
+  private def memoTrack(tag: String, spark: SparkSession, dir: String)
+                       (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((tag, spark, dir),
+      _ => graft.CacheRegistry.track(build))
 
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((spark, dir),
-      _ => graft.CacheRegistry.track(shingles(spark, dir)))
+    memoTrack("shingles", spark, dir)(shingles(spark, dir))
 
   /** Test-set decontamination — the n-gram-collision check the published
     * LLM training recipes run before training (GPT-3 appendix C / PaLM
@@ -755,8 +764,7 @@ object TextOps {
     * labels; the training loop is unchanged). */
   def lrQuality(spark: SparkSession, dir: String, iters: Int = LrIters,
                 rate: Double = 1.0): DataFrame = {
-    val f = featCache.computeIfAbsent((spark, dir),
-      _ => graft.CacheRegistry.track(lrFeatures(spark, dir)))
+    val f = memoTrack("lrFeatures", spark, dir)(lrFeatures(spark, dir))
     val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
     def p(w: IndexedSeq[Double]): Column = {
       val z = w.zip(xs).map { case (wj, xj) => lit(wj) * xj }
@@ -780,10 +788,6 @@ object TextOps {
       .withColumn("predicted", col("score") >= 0.5)
       .orderBy("doc_id")
   }
-
-  private val featCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  graft.CacheRegistry.onRelease(() => featCache.clear())
 
   /** The classifier's feature frame: [[qualityScore]]'s signals, scaled
     * to O(1) ranges, with the heuristic flag as the 0/1 label. */
