@@ -744,6 +744,100 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  // ------------------------------------------------------ search engine
+  /** BM25 parameters — the Lucene/Elasticsearch defaults the reference's
+    * ES backend ranks with (fulltextindex.py's ElasticSearchIndex runs
+    * Lucene BM25Similarity: k1=1.2, b=0.75). */
+  final val Bm25K1 = 1.2
+  final val Bm25B = 0.75
+
+  /** BM25-ranked full-text search — the search-ENGINE slot the reference
+    * delegates to Whoosh/Elasticsearch (fulltextindex.py:165/503
+    * `query()`: AND over terms, relevance-ranked, paginated). Spark-first
+    * shape: the inverted posting index is a DataFrame (term, doc_id, tf)
+    * built with one shuffle on (doc_id, term) AFTER filtering the
+    * exploded token stream to the query terms (the scan only shuffles
+    * matching postings, not the corpus); df and (N, avgdl) are
+    * vocabulary- and scalar-sized → broadcast. Lucene's
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) is snapped to integer
+    * micro-nats ([[charLmScore]] discipline: ln is the only
+    * transcendental the two engines may disagree on), every other step
+    * is correctly-rounded IEEE arithmetic evaluated in the same order on
+    * both sides, and each per-(doc,term) weight is rounded to an integer
+    * micro-score so the final per-doc sum is order-independent — exact
+    * under any partitioning. AND semantics = the reference's
+    * default_operator "and" (fulltextindex.py:880-882). Two-phase global
+    * rank; ES-style pagination. */
+  def bm25Search(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("join", "vector"),
+                 pageLen: Int = 10): DataFrame = {
+    val d = docs(spark, dir)
+    val stats = d.select(size(tokensCol).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("n"), (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    val tf = d.select(col("doc_id"), size(tokensCol).as("dl"),
+        explode(tokensCol).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0) + (col("n") - col("df") + 0.5) /
+          (col("df") + 0.5)) * 1e6).cast("long").as("idf_micro"),
+        col("avgdl"))
+    val w = col("idf_micro") * col("tf") * lit(Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(idf), "term")
+      .withColumn("w_micro", round(w).cast("long"))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms"), sum(col("w_micro")).as("score_micro"))
+      .filter(col("n_terms") === terms.size)
+    graft.rel.Ranking.globalRank(scored,
+        Seq(col("score_micro").desc, col("doc_id").asc), "rk")
+      .withColumn("page", ceil(col("rk") / pageLen.toDouble).cast("int"))
+      .select(col("rk"), col("page"), col("doc_id"), col("dl"),
+        round(col("score_micro") / 1e6, 4).as("score"))
+      .orderBy("rk")
+  }
+
+  /** Search-hit highlighting — the reference's ES highlight request
+    * (fulltextindex.py:882-887: `fragment_size: 150`,
+    * `number_of_fragments: 2` around term matches; the Whoosh side's
+    * ElementsFormatter does the same windowing, fulltextindex.py:
+    * 356-391). Deterministic re-expression: fragment 1 is a
+    * `fragSize`-char window with the FIRST occurrence offset toward its
+    * center (start clamped to 1), fragment 2 the same window around the
+    * first occurrence at or after fragment 1's end (null when the term
+    * never recurs). Pure string arithmetic — identical in both engines,
+    * no fp involved. Hits ranked by occurrence count (the tf score the
+    * title search uses), unique-keyed on doc_id. Narrow per-row work —
+    * the only shuffle is the rank's range partitioning. */
+  def searchSnippets(spark: SparkSession, dir: String,
+                     term: String = "customer",
+                     fragSize: Int = 150): DataFrame = {
+    val esc = term.replace("\\", "\\\\").replace("'", "\\'")
+    val off = (fragSize - term.length) / 2
+    val d = docs(spark, dir).filter(col("text").contains(term))
+      .withColumn("n_hits", termCount(col("text"), term).cast("long"))
+      .withColumn("p1", expr(s"locate('$esc', text)"))
+      .withColumn("s1", greatest(lit(1), col("p1") - off))
+      .withColumn("frag1", expr(s"substring(text, s1, $fragSize)"))
+      .withColumn("p2", expr(s"locate('$esc', text, s1 + $fragSize)"))
+      .withColumn("frag2", when(col("p2") > 0,
+        expr(s"substring(text, greatest(1, p2 - $off), $fragSize)")))
+    graft.rel.Ranking.globalRank(d,
+        Seq(col("n_hits").desc, col("doc_id").asc), "rk")
+      .select("rk", "doc_id", "n_hits", "frag1", "frag2")
+      .orderBy("rk")
+  }
+
+  /** Occurrences of the literal `term` in `c` (the kg search scorer's
+    * counting trick, KgQueries.termCount). */
+  private def termCount(c: Column, term: String): Column =
+    (length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(term), ""))) / term.length
+
   /** Gradient-descent iterations for [[lrQuality]] — fixed (not
     * convergence-tested) so the oracle replays the identical chain. */
   final val LrIters = 3
@@ -852,6 +946,8 @@ object TextOps {
     "text_bloom_dedup" -> ((s, d) => bloomDedup(s, d)),
     "text_jsonl_export" -> jsonlExport,
     "text_lr_quality" -> ((s, d) => lrQuality(s, d)),
+    "text_bm25_search" -> ((s, d) => bm25Search(s, d)),
+    "text_search_snippets" -> ((s, d) => searchSnippets(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_ppl_buckets" -> pplBuckets,
     "text_pii_redact" -> piiRedact,
@@ -1162,6 +1258,68 @@ object TextOps {
              to_json({'doc_id': doc_id, 'lang': lang, 'source': source,
                       'n_chars': n_chars, 'text': text})::VARCHAR AS jsonl
            FROM documents ORDER BY doc_id""",
+      // BM25 re-derived end-to-end from the raw text: same whitespace
+      // tokenizer, Lucene idf in micro-nats (ln snapped to 1e-6), every
+      // other step correctly-rounded IEEE in the same evaluation order,
+      // per-(doc,term) weights rounded to integer micro-scores before the
+      // order-independent sum. Constants appear as (1.2 + 1.0) etc. so
+      // both engines COMPUTE the double rather than parse a decimal
+      // literal that rounds differently.
+      "text_bm25_search" ->
+        """WITH tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(trim(text), '\S+')) AS term
+             FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           st AS (SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT sum(dl) FROM dl)::DOUBLE /
+                 (SELECT count(*) FROM documents) AS avgdl),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN ('join', 'vector') GROUP BY 1, 2),
+           idf AS (SELECT term, cast(round(ln(1.0 +
+                 (n - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT)
+               AS idf_micro
+             FROM (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY 1) CROSS JOIN st),
+           w AS (SELECT tf.doc_id, dl.dl, cast(round(
+                 idf_micro * tf * (1.2 + 1.0) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)))
+               AS BIGINT) AS w_micro
+             FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+               CROSS JOIN st),
+           sc AS (SELECT doc_id, dl, count(*) AS n_terms,
+               sum(w_micro) AS score_micro FROM w GROUP BY 1, 2),
+           ranked AS (SELECT doc_id, dl, score_micro, row_number() OVER
+               (ORDER BY score_micro DESC, doc_id ASC) AS rk
+             FROM sc WHERE n_terms = 2)
+           SELECT rk, cast(ceil(rk / 10.0) AS int) AS page, doc_id, dl,
+             round(score_micro / 1e6, 4) AS score
+           FROM ranked ORDER BY rk""",
+      // highlight windows re-derived with pure string arithmetic:
+      // strpos/substr replay locate/substring; the second fragment's
+      // search-from-offset is strpos over the tail substring, mapped
+      // back to an absolute position
+      "text_search_snippets" ->
+        """WITH m AS (SELECT doc_id, text,
+               cast((length(text) -
+                     length(replace(text, 'customer', ''))) / 8
+                 AS BIGINT) AS n_hits,
+               strpos(text, 'customer') AS p1
+             FROM documents WHERE contains(text, 'customer')),
+           s1 AS (SELECT doc_id, text, n_hits,
+               greatest(1, p1 - 71) AS s1 FROM m),
+           s2 AS (SELECT doc_id, text, n_hits, s1,
+               CASE WHEN strpos(substr(text, s1 + 150), 'customer') > 0
+                 THEN strpos(substr(text, s1 + 150), 'customer')
+                   + s1 + 149
+                 ELSE 0 END AS p2 FROM s1),
+           ranked AS (SELECT *, row_number() OVER
+               (ORDER BY n_hits DESC, doc_id ASC) AS rk FROM s2)
+           SELECT rk, doc_id, n_hits,
+             substr(text, s1, 150) AS frag1,
+             CASE WHEN p2 > 0
+               THEN substr(text, greatest(1, p2 - 71), 150)
+               END AS frag2
+           FROM ranked ORDER BY rk""",
       "text_tfidf_topk" ->
         """WITH tok AS (SELECT doc_id,
                unnest(regexp_extract_all(trim(text), '\S+')) AS term

@@ -323,4 +323,67 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     dupLoser.foreach { case (_, txt) => assert(txt == "") }
   }
+
+  test("bm25: AND semantics, dense ranks, local brute-force re-scoring agrees") {
+    val terms = Seq("join", "vector")
+    val res = TextOps.bm25Search(spark, dir, terms).collect()
+    assert(res.nonEmpty)
+    // dense 1-based ranks, ES pagination
+    assert(res.map(_.getAs[Long]("rk")).toSeq == (1L to res.length).toSeq)
+    assert(res.forall(r =>
+      r.getAs[Int]("page") == math.ceil(r.getAs[Long]("rk") / 10.0).toInt))
+    // brute-force BM25 on the driver from the raw text (same JVM ln, so
+    // scores must agree EXACTLY, not just approximately)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> "\\S+".r.findAllIn(r.getString(1).trim).toSeq)
+    val n = corpus.length
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t =>
+      t -> corpus.count(_._2.contains(t))).toMap
+    val idfMicro = terms.map(t => t -> math.round(
+      math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * 1e6)).toMap
+    // math.round rounds half-up like Spark's round; recompute exactly
+    val idfM = terms.map(t => t -> math.round(
+      math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * 1e6).toDouble).toMap
+    val expected = corpus.flatMap { case (id, toks) =>
+      val tfs = terms.map(t => t -> toks.count(_ == t).toLong)
+      if (tfs.exists(_._2 == 0L)) None else {
+        val dl = toks.length
+        val score = tfs.map { case (t, tf) =>
+          math.round(idfM(t) * tf * (TextOps.Bm25K1 + 1.0) /
+            (tf + TextOps.Bm25K1 * (1.0 - TextOps.Bm25B +
+              TextOps.Bm25B * dl / avgdl)))
+        }.sum
+        Some((id, dl, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }
+    assert(idfMicro == idfM.map { case (k, v) => k -> v.toLong })
+    assert(res.length == expected.length)
+    res.zip(expected).foreach { case (r, (id, dl, scoreMicro)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Int]("dl") == dl)
+      assert(r.getAs[Double]("score") ==
+        BigDecimal(scoreMicro / 1e6).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("snippets: fragments window the term, second fragment past the first") {
+    val term = "customer"
+    val res = TextOps.searchSnippets(spark, dir, term).collect()
+    assert(res.nonEmpty)
+    assert(res.map(_.getAs[Long]("rk")).toSeq == (1L to res.length).toSeq)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= 1L)
+      val f1 = r.getAs[String]("frag1")
+      assert(f1.length <= 150 && f1.contains(term))
+      Option(r.getAs[String]("frag2")).foreach { f2 =>
+        assert(f2.length <= 150 && f2.contains(term))
+      }
+    }
+    // ranked by hit count (ties by doc_id): non-increasing n_hits
+    val hits = res.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a >= b })
+  }
 }
