@@ -744,6 +744,84 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  // --------------------------------------------------- curation filters
+  /** C4's heuristic page cleaning (Raffel et al. 2020 §2.2, the cleanup
+    * every later web-curation recipe inherits): retain only complete
+    * terminally-punctuated sentences, drop pages with fewer than 3
+    * sentences, drop pages containing "lorem ipsum" or a curly brace.
+    * The synthetic corpus carries none of those signals, so they are
+    * PLANTED deterministically first (the [[piiRedact]] pattern: the
+    * oracle replays the identical planting): every 10th word boundary
+    * becomes a sentence terminator, and the lorem/brace tripwires are
+    * appended on doc_id residues. The filter logic itself is the real
+    * thing — narrow per-row string work, no shuffle, codegen'd. */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val sent = regexp_replace(col("text"),
+      "((\\S+ ){9}\\S+) ", "$1. ")
+    val aug = concat(sent,
+      when(pmod(col("doc_id"), lit(31)) === 0, lit(" lorem ipsum"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(17)) === 0, lit(" {"))
+        .otherwise(lit("")))
+    // complete sentences end ". "; the trailing fragment never does, so
+    // the retained text is everything through the LAST ". " (found via
+    // reverse+locate — no regex backtracking over the page)
+    val revpos = locate(" .", reverse(col("aug")))
+    docs(spark, dir)
+      .withColumn("aug", aug)
+      .withColumn("n_sentences", termCount(col("aug"), ". ").cast("long"))
+      .withColumn("has_lorem", col("aug").contains("lorem ipsum"))
+      .withColumn("has_brace", col("aug").contains("{"))
+      .withColumn("kept", col("n_sentences") >= 3 &&
+        !col("has_lorem") && !col("has_brace"))
+      .withColumn("cleaned", when(col("kept"),
+        when(revpos > 0,
+          col("aug").substr(lit(1), length(col("aug")) - revpos))
+          .otherwise(lit(""))))
+      .select("doc_id", "n_sentences", "has_lorem", "has_brace", "kept",
+        "cleaned")
+      .orderBy("doc_id")
+  }
+
+  /** URL-blocklist entries — suffix semantics: a domain is blocked when
+    * it equals an entry or is a subdomain of one (the RefinedWeb/C4
+    * URL-filtering step; at scale the blocklist is a broadcast dim). */
+  final val UrlBlocklist = Seq(
+    "spam.example.com" -> "adult",
+    "tracker.example.net" -> "ads")
+
+  /** URL/domain blocklist filtering — the curation step that discards
+    * documents by source URL before any content heuristics run
+    * (RefinedWeb §3.1, C4's bad-URL list). Source URLs are planted
+    * deterministically from doc_id (residue-coded domains, two of them
+    * blocklisted — one exactly, one via a subdomain). The blocklist is
+    * a proper dimension TABLE joined with an equals-or-subdomain
+    * predicate — broadcast, so at 100 TB the corpus never shuffles;
+    * unmatched rows survive the left join with blocked=false. */
+  def urlFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val domain = pmod(col("doc_id"), lit(13))
+    val host = when(domain === 0, lit("spam.example.com"))
+      .when(domain === 1, lit("shop.spam.example.com"))
+      .when(domain === 2, lit("tracker.example.net"))
+      .when(domain === 3, lit("en.wikipedia.example.org"))
+      .otherwise(concat(lit("site"), domain.cast("string"),
+        lit(".example.org")))
+    val block = UrlBlocklist.toDF("entry", "category")
+    docs(spark, dir)
+      .withColumn("host", host)
+      .withColumn("url", concat(lit("https://"), col("host"),
+        lit("/doc/"), col("doc_id").cast("string")))
+      .join(broadcast(block),
+        col("host") === col("entry") ||
+          col("host").endsWith(concat(lit("."), col("entry"))),
+        "left")
+      .select(col("doc_id"), col("url"), col("host"),
+        col("entry").isNotNull.as("blocked"),
+        col("entry").as("matched_entry"), col("category"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ search engine
   /** BM25 parameters — the Lucene/Elasticsearch defaults the reference's
     * ES backend ranks with (fulltextindex.py's ElasticSearchIndex runs
@@ -948,6 +1026,8 @@ object TextOps {
     "text_lr_quality" -> ((s, d) => lrQuality(s, d)),
     "text_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "text_search_snippets" -> ((s, d) => searchSnippets(s, d)),
+    "text_c4_filters" -> c4Filters,
+    "text_url_filter" -> urlFilter,
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_ppl_buckets" -> pplBuckets,
     "text_pii_redact" -> piiRedact,
@@ -1258,6 +1338,54 @@ object TextOps {
              to_json({'doc_id': doc_id, 'lang': lang, 'source': source,
                       'n_chars': n_chars, 'text': text})::VARCHAR AS jsonl
            FROM documents ORDER BY doc_id""",
+      // C4 cleanup replayed: identical deterministic planting (sentence
+      // terminators every 10 words, lorem/brace tripwires on doc_id
+      // residues), then the same sentence-count / tripwire / retained-
+      // prefix logic in pure string arithmetic
+      "text_c4_filters" ->
+        """WITH aug AS (SELECT doc_id,
+               regexp_replace(text, '((\S+ ){9}\S+) ', '\1. ', 'g')
+               || CASE WHEN doc_id % 31 = 0 THEN ' lorem ipsum'
+                    ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END AS aug
+             FROM documents),
+           f AS (SELECT doc_id, aug,
+               cast((length(aug) - length(replace(aug, '. ', ''))) / 2
+                 AS BIGINT) AS n_sentences,
+               contains(aug, 'lorem ipsum') AS has_lorem,
+               contains(aug, '{') AS has_brace
+             FROM aug),
+           k AS (SELECT *, (n_sentences >= 3 AND NOT has_lorem
+                 AND NOT has_brace) AS kept,
+               strpos(reverse(aug), ' .') AS revpos FROM f)
+           SELECT doc_id, n_sentences, has_lorem, has_brace, kept,
+             CASE WHEN kept THEN
+               CASE WHEN revpos > 0
+                 THEN substr(aug, 1, length(aug) - revpos)
+                 ELSE '' END
+             END AS cleaned
+           FROM k ORDER BY doc_id""",
+      // blocklist replayed as a VALUES dim with the same
+      // equals-or-subdomain predicate
+      "text_url_filter" ->
+        """WITH u AS (SELECT doc_id,
+               CASE doc_id % 13 WHEN 0 THEN 'spam.example.com'
+                 WHEN 1 THEN 'shop.spam.example.com'
+                 WHEN 2 THEN 'tracker.example.net'
+                 WHEN 3 THEN 'en.wikipedia.example.org'
+                 ELSE 'site' || (doc_id % 13)::VARCHAR || '.example.org'
+               END AS host
+             FROM documents),
+           b AS (SELECT * FROM (VALUES
+               ('spam.example.com', 'adult'),
+               ('tracker.example.net', 'ads')) AS t(entry, category))
+           SELECT u.doc_id,
+             'https://' || host || '/doc/' || doc_id::VARCHAR AS url,
+             host, b.entry IS NOT NULL AS blocked,
+             b.entry AS matched_entry, b.category
+           FROM u LEFT JOIN b
+             ON host = b.entry OR ends_with(host, '.' || b.entry)
+           ORDER BY doc_id""",
       // BM25 re-derived end-to-end from the raw text: same whitespace
       // tokenizer, Lucene idf in micro-nats (ln snapped to 1e-6), every
       // other step correctly-rounded IEEE in the same evaluation order,

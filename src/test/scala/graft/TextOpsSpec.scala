@@ -324,6 +324,50 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     dupLoser.foreach { case (_, txt) => assert(txt == "") }
   }
 
+  test("c4 filters: tripwires fire on planted docs, kept pages end in a terminator") {
+    val res = TextOps.c4Filters(spark, dir).collect()
+    assert(res.length == 500)
+    res.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("has_lorem") == (id % 31 == 0))
+      assert(r.getAs[Boolean]("has_brace") == (id % 17 == 0))
+      val kept = r.getAs[Boolean]("kept")
+      assert(kept == (r.getAs[Long]("n_sentences") >= 3 &&
+        id % 31 != 0 && id % 17 != 0))
+      if (kept) {
+        val cleaned = r.getAs[String]("cleaned")
+        assert(cleaned.endsWith("."), s"doc $id cleaned ends: ...${cleaned.takeRight(10)}")
+        // retained text = complete 10-word sentences only
+        assert(cleaned.split("\\. ").forall(_.split(" ").length == 10))
+      } else assert(r.getAs[String]("cleaned") == null)
+    }
+    assert(res.count(_.getAs[Boolean]("kept")) > 0)
+    assert(res.count(!_.getAs[Boolean]("kept")) > 0)
+  }
+
+  test("url filter: exact and subdomain blocklist hits, others pass") {
+    val res = TextOps.urlFilter(spark, dir).collect()
+    assert(res.length == 500)
+    res.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val blocked = r.getAs[Boolean]("blocked")
+      id % 13 match {
+        case 0 => assert(blocked &&
+          r.getAs[String]("matched_entry") == "spam.example.com" &&
+          r.getAs[String]("category") == "adult")
+        case 1 => assert(blocked && // subdomain suffix match
+          r.getAs[String]("host") == "shop.spam.example.com" &&
+          r.getAs[String]("matched_entry") == "spam.example.com")
+        case 2 => assert(blocked &&
+          r.getAs[String]("category") == "ads")
+        case _ => assert(!blocked &&
+          r.getAs[String]("matched_entry") == null)
+      }
+      assert(r.getAs[String]("url") ==
+        s"https://${r.getAs[String]("host")}/doc/$id")
+    }
+  }
+
   test("bm25: AND semantics, dense ranks, local brute-force re-scoring agrees") {
     val terms = Seq("join", "vector")
     val res = TextOps.bm25Search(spark, dir, terms).collect()
