@@ -1,7 +1,7 @@
 package graft.kg
 
 import graft.model.Vocab
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -613,6 +613,72 @@ object KgQueries {
       .orderBy("rk")
   }
 
+  /** One CSV field under Python csv's QUOTE_MINIMAL with ';' delimiter
+    * (the writer csvinventory constructs, devel.py:857-867): quoted only
+    * when the value carries the delimiter, a quote, or a line break;
+    * inner quotes double; a missing predicate is DictWriter's empty
+    * field. */
+  private[graft] def csvField(c: Column): Column = {
+    val f = coalesce(c, lit(""))
+    when(f.rlike("[;\"\n\r]"),
+      concat(lit("\""), regexp_replace(f, "\"", "\"\""), lit("\"")))
+      .otherwise(f)
+  }
+
+  /** The reference renders URI objects through g.qname (devel.py:880) —
+    * known ontology namespaces collapse to prefix:local, everything else
+    * stays absolute. */
+  private def qnamed(c: Column): Column =
+    when(c.startsWith(Vocab.RFC_NS),
+      concat(lit("rfc:"), c.substr(lit(Vocab.RFC_NS.length + 1), length(c))))
+      .when(c.startsWith(Vocab.RPUBL),
+        concat(lit("rpubl:"), c.substr(lit(Vocab.RPUBL.length + 1), length(c))))
+      .otherwise(c)
+
+  /** Document inventory as CSV — devel csvinventory (devel.py:835-893):
+    * one ;-delimited line per parsed document over the DEFAULT predicate
+    * list — basefile, subobjects (the count of rdf:type statements in
+    * the document's distilled graph, devel.py:891-892: the document plus
+    * its #-fragment sub-resources), qnamed rdf:type, dcterms:identifier,
+    * dcterms:title, dcterms:issued (this corpus's dcterms:published
+    * slot), prov:wasGeneratedBy. The CSV rendering (QUOTE_MINIMAL,
+    * ';' delimiter) happens IN the engine so the oracle compares bytes.
+    * Shape: one triple-table scan feeding per-predicate hash aggregates
+    * keyed on subject — the same broadcast-sized dimensional joins the
+    * facet pivot uses; nothing quadratic, nothing driver-side. */
+  def csvInventory(spark: SparkSession, dir: String): DataFrame = {
+    val tr = t(ctx(spark))
+    val docs = tr.filter(col("pred") === Vocab.RDF_TYPE &&
+        (col("obj").startsWith(Vocab.RFC_NS) ||
+         col("obj") === Vocab.rpubl("Rattsfallsreferat")))
+      .groupBy(col("subj").as("uri"), col("repo"))
+      .agg(min(qnamed(col("obj"))).as("rdf_type"))
+    def lit1(pred: String, name: String) =
+      tr.filter(col("pred") === pred)
+        .groupBy(col("subj").as("uri")).agg(min(col("obj")).as(name))
+    val subs = tr.filter(col("pred") === Vocab.RDF_TYPE)
+      .select(substring_index(col("subj"), "#", 1).as("uri"))
+      .groupBy("uri").agg(count(lit(1)).as("subobjects"))
+    docs
+      .join(subs, Seq("uri"), "left")
+      .join(lit1(Vocab.dcterms("identifier"), "identifier"), Seq("uri"), "left")
+      .join(lit1(Vocab.dcterms("title"), "title"), Seq("uri"), "left")
+      .join(lit1(Vocab.dcterms("issued"), "issued"), Seq("uri"), "left")
+      .join(lit1(Vocab.PROV + "wasGeneratedBy", "generated_by"),
+        Seq("uri"), "left")
+      .withColumn("basefile", element_at(split(col("uri"), "/"), -1))
+      .select(col("repo"), col("basefile"),
+        concat_ws(";",
+          csvField(col("basefile")),
+          csvField(col("subobjects").cast("string")),
+          csvField(col("rdf_type")),
+          csvField(col("identifier")),
+          csvField(col("title")),
+          csvField(col("issued")),
+          csvField(col("generated_by"))).as("csv_line"))
+      .orderBy("repo", "basefile")
+  }
+
   /** N-Triples codec round-trip over the WHOLE materialized graph:
     * serialize every distinct statement with Triple.toNt, parse it back
     * with Triple.fromNt, and count symmetric differences — the dump.nt
@@ -899,6 +965,7 @@ object KgQueries {
       Seq("publisher" -> (EntityDict.base + "/org/ietf")))),
     "kg_search_ac" -> ((s, d) => acSearch(s, d)),
     "kg_atom_feeds" -> ((s, d) => atomFeeds(s, d)),
+    "kg_csv_inventory" -> ((s, d) => csvInventory(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -986,6 +1053,14 @@ object KgQueries {
                  LEFT JOIN f_title USING (uri) LEFT JOIN f_pub USING (uri)
                  LEFT JOIN f_iss USING (uri) LEFT JOIN f_cat USING (uri))"""
 
+  /** DuckDB replay of [[csvField]] — same QUOTE_MINIMAL predicate, same
+    * quote doubling (backslash escapes in the char class are RE2
+    * pattern-level, identical to the JVM side). */
+  private def sqlCsvField(e: String): String =
+    s"""CASE WHEN regexp_matches(coalesce($e, ''), '[;"\\n\\r]')
+        THEN '"' || replace(coalesce($e, ''), '"', '""') || '"'
+        ELSE coalesce($e, '') END"""
+
   /** Boosted-search oracle, parameterized on the year-range predicate so
     * the Between/Less/More modifier variants share one re-derivation. */
   private def searchBoostedSql(whereYear: String): String =
@@ -1060,6 +1135,47 @@ object KgQueries {
          FROM rw""",
     "kg_facet_pivot" ->
       s"WITH $pivotCte SELECT * FROM piv",
+    // csvinventory re-rendered byte-for-byte: same doc set as the pivot,
+    // same qname collapse, same QUOTE_MINIMAL field escaping
+    "kg_csv_inventory" ->
+      s"""WITH tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
+         docs AS (SELECT subj AS uri, repo, min(
+               CASE WHEN starts_with(obj, '${Vocab.RFC_NS}')
+                      THEN 'rfc:' || substr(obj, ${Vocab.RFC_NS.length + 1})
+                    WHEN starts_with(obj, '${Vocab.RPUBL}')
+                      THEN 'rpubl:' || substr(obj, ${Vocab.RPUBL.length + 1})
+                    ELSE obj END) AS rdf_type
+             FROM tr WHERE pred = '$RdfType'
+               AND (obj LIKE '${Vocab.RFC_NS}%'
+                    OR obj = '${Vocab.rpubl("Rattsfallsreferat")}')
+             GROUP BY 1, 2),
+         subs AS (SELECT CASE WHEN strpos(subj, '#') > 0
+                 THEN substr(subj, 1, strpos(subj, '#') - 1)
+                 ELSE subj END AS uri, count(*) AS subobjects
+             FROM tr WHERE pred = '$RdfType' GROUP BY 1),
+         f_id AS (SELECT subj AS uri, min(obj) AS identifier FROM tr
+                  WHERE pred = '${dct("identifier")}' GROUP BY 1),
+         f_title AS (SELECT subj AS uri, min(obj) AS title FROM tr
+                     WHERE pred = '${dct("title")}' GROUP BY 1),
+         f_iss AS (SELECT subj AS uri, min(obj) AS issued FROM tr
+                   WHERE pred = '${dct("issued")}' GROUP BY 1),
+         f_gen AS (SELECT subj AS uri, min(obj) AS generated_by FROM tr
+                   WHERE pred = '${Vocab.PROV}wasGeneratedBy' GROUP BY 1),
+         inv AS (SELECT d.repo, string_split(d.uri, '/')[-1] AS basefile,
+               s.subobjects, d.rdf_type, f_id.identifier, f_title.title,
+               f_iss.issued, f_gen.generated_by
+             FROM docs d LEFT JOIN subs s USING (uri)
+             LEFT JOIN f_id USING (uri) LEFT JOIN f_title USING (uri)
+             LEFT JOIN f_iss USING (uri) LEFT JOIN f_gen USING (uri))
+         SELECT repo, basefile,
+           ${sqlCsvField("basefile")} || ';' ||
+           ${sqlCsvField("subobjects::VARCHAR")} || ';' ||
+           ${sqlCsvField("rdf_type")} || ';' ||
+           ${sqlCsvField("identifier")} || ';' ||
+           ${sqlCsvField("title")} || ';' ||
+           ${sqlCsvField("issued")} || ';' ||
+           ${sqlCsvField("generated_by")} AS csv_line
+         FROM inv ORDER BY repo, basefile""",
     "kg_stats" ->
       s"""WITH $pivotCte,
          obs AS (SELECT 'publisher' AS dimension, publisher AS value, uri

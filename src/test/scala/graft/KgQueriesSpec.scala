@@ -140,4 +140,41 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       yield (s"n$i", s"n$j")).toSet
     assert(got == want)
   }
+
+  test("csvField matches Python csv QUOTE_MINIMAL (';' delimiter)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // expected values are what csv.writer(delimiter=';') emits per field
+    val cases = Seq(
+      "plain" -> "plain",
+      "has;delim" -> "\"has;delim\"",
+      "has\"quote" -> "\"has\"\"quote\"",
+      "line\nbreak" -> "\"line\nbreak\"",
+      "cr\rhere" -> "\"cr\rhere\"",
+      "comma,ok" -> "comma,ok", // ',' is NOT the delimiter here
+      "" -> "")
+    val got = cases.map(_._1).toDF("v")
+      .select(KgQueries.csvField(col("v")).as("e"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+    // null predicate = DictWriter's missing key = empty field
+    val n = Seq(Option.empty[String]).toDF("v")
+      .select(KgQueries.csvField(col("v"))).collect()(0).getString(0)
+    assert(n == "")
+  }
+
+  test("csv inventory: one line per pivot doc, subobjects >= 1, 7 fields") {
+    val inv = KgQueries.csvInventory(spark, "").collect()
+    val piv = KgQueries.facetPivot(spark, "").count()
+    assert(inv.length.toLong == piv)
+    inv.foreach { r =>
+      val line = r.getAs[String]("csv_line")
+      // no corpus field carries the delimiter, so splitting is safe here
+      val fields = line.split(";", -1)
+      assert(fields.length == 7, s"line: $line")
+      assert(fields(0) == r.getAs[String]("basefile"))
+      assert(fields(1).toLong >= 1L) // the doc's own rdf:type counts
+      assert(fields(2).startsWith("rfc:") || fields(2).startsWith("rpubl:"))
+    }
+  }
 }
