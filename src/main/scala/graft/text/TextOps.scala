@@ -794,10 +794,18 @@ object TextOps {
     * documents by source URL before any content heuristics run
     * (RefinedWeb §3.1, C4's bad-URL list). Source URLs are planted
     * deterministically from doc_id (residue-coded domains, two of them
-    * blocklisted — one exactly, one via a subdomain). The blocklist is
-    * a proper dimension TABLE joined with an equals-or-subdomain
-    * predicate — broadcast, so at 100 TB the corpus never shuffles;
-    * unmatched rows survive the left join with blocked=false. */
+    * blocklisted — one exactly, one via a subdomain).
+    *
+    * Scale shape: the equals-or-subdomain predicate is NOT joined as an
+    * OR condition (that forces a nested-loop — quadratic against the
+    * ~1M-entry blocklists real pipelines carry). Each host explodes
+    * into its ≤5 domain SUFFIXES and equi-joins the blocklist on the
+    * suffix — a plain hash join either broadcast or shuffled, so both
+    * sides scale. When nested entries both match, the LONGEST (most
+    * specific) wins, ties by greatest entry — a deterministic arg-max
+    * struct aggregate. Unmatched rows survive the left join
+    * blocked=false. The oracle keeps the OR-predicate form — the
+    * semantic spec — as the independent derivation. */
   def urlFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val domain = pmod(col("doc_id"), lit(13))
@@ -808,17 +816,26 @@ object TextOps {
       .otherwise(concat(lit("site"), domain.cast("string"),
         lit(".example.org")))
     val block = UrlBlocklist.toDF("entry", "category")
-    docs(spark, dir)
+    val withHost = docs(spark, dir)
       .withColumn("host", host)
       .withColumn("url", concat(lit("https://"), col("host"),
         lit("/doc/"), col("doc_id").cast("string")))
-      .join(broadcast(block),
-        col("host") === col("entry") ||
-          col("host").endsWith(concat(lit("."), col("entry"))),
-        "left")
+    val hits = withHost.select(col("doc_id"),
+        split(col("host"), "\\.").as("labels"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(labels)), " +
+          "i -> array_join(slice(labels, i, size(labels) - i + 1), '.'))"))
+        .as("sfx"))
+      .join(broadcast(block), col("sfx") === col("entry"))
+      .groupBy("doc_id")
+      .agg(max(struct(length(col("entry")).as("l"),
+        col("entry").as("entry"), col("category").as("category"))).as("m"))
+      .select(col("doc_id"), col("m.entry").as("matched_entry"),
+        col("m.category").as("category"))
+    withHost.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"), col("host"),
-        col("entry").isNotNull.as("blocked"),
-        col("entry").as("matched_entry"), col("category"))
+        col("matched_entry").isNotNull.as("blocked"),
+        col("matched_entry"), col("category"))
       .orderBy("doc_id")
   }
 
@@ -1378,13 +1395,18 @@ object TextOps {
              FROM documents),
            b AS (SELECT * FROM (VALUES
                ('spam.example.com', 'adult'),
-               ('tracker.example.net', 'ads')) AS t(entry, category))
+               ('tracker.example.net', 'ads')) AS t(entry, category)),
+           hits AS (SELECT u.doc_id, b.entry, b.category, row_number()
+                 OVER (PARTITION BY u.doc_id
+                       ORDER BY length(b.entry) DESC, b.entry DESC) AS rn
+             FROM u JOIN b
+               ON host = b.entry OR ends_with(host, '.' || b.entry))
            SELECT u.doc_id,
              'https://' || host || '/doc/' || doc_id::VARCHAR AS url,
-             host, b.entry IS NOT NULL AS blocked,
-             b.entry AS matched_entry, b.category
-           FROM u LEFT JOIN b
-             ON host = b.entry OR ends_with(host, '.' || b.entry)
+             host, h.entry IS NOT NULL AS blocked,
+             h.entry AS matched_entry, h.category
+           FROM u LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h
+             USING (doc_id)
            ORDER BY doc_id""",
       // BM25 re-derived end-to-end from the raw text: same whitespace
       // tokenizer, Lucene idf in micro-nats (ln snapped to 1e-6), every
