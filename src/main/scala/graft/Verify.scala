@@ -49,6 +49,15 @@ object Verify {
       }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // clear the target FIRST: when outDir is reused (local loops), a
+      // failing query must show up as MISSING in the compare, not pass
+      // silently against its previous run's parquet
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -679,6 +679,111 @@ object KgQueries {
       .orderBy("repo", "basefile")
   }
 
+  // ------------------------------------------------------- turtle dump
+  /** The prefix table the Turtle dump declares — the ontologies this
+    * corpus's graphs draw from (the reference binds the same style of
+    * namespace map before serializing, documentrepository.py
+    * parse-time ns bindings). Namespaces are disjoint, so match order
+    * never matters. */
+  final val TtlPrefixes: Seq[(String, String)] = Seq(
+    "bibo" -> Vocab.BIBO,
+    "dcterms" -> Vocab.DCTERMS,
+    "foaf" -> "http://xmlns.com/foaf/0.1/",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "prov" -> Vocab.PROV,
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "rfc" -> Vocab.RFC_NS,
+    "rpubl" -> Vocab.RPUBL,
+    "skos" -> "http://www.w3.org/2004/02/skos/core#",
+    "xsd" -> Vocab.XSD)
+
+  /** PN_LOCAL-safe local-name test shared by both engines. */
+  private val TtlLocalRx = "^[A-Za-z][A-Za-z0-9_-]*$"
+
+  /** SQL fragment rendering a URI term as a curie when a declared
+    * namespace matches AND the local part is PN_LOCAL-safe, else
+    * <absolute>. `rx` differs per engine (Spark regexp_like, DuckDB
+    * regexp_matches); everything else is shared text so the two
+    * renderings cannot drift. */
+  private def curieSql(e: String, rx: String): String =
+    TtlPrefixes.map { case (p, ns) =>
+      s"""WHEN left($e, ${ns.length}) = '$ns' AND
+          $rx(substr($e, ${ns.length + 1}), '$TtlLocalRx')
+          THEN '$p:' || substr($e, ${ns.length + 1})"""
+    }.mkString("CASE ", " ", s" ELSE '<' || $e || '>' END")
+
+  /** Turtle string escaping — the same five NT escapes Triple.toNt
+    * applies (backslash first), as shared SQL text. */
+  private def ttlEscSql(e: String): String =
+    s"""replace(replace(replace(replace(replace($e,
+        chr(92), chr(92) || chr(92)), '"', chr(92) || '"'),
+        chr(10), chr(92) || 'n'), chr(13), chr(92) || 'r'),
+        chr(9), chr(92) || 't')"""
+
+  /** Object-term rendering (literals with @lang / ^^datatype curie). */
+  private def ttlObjSql(rx: String): String =
+    s"""CASE WHEN NOT objIsLiteral THEN ${curieSql("obj", rx)}
+        WHEN objLang IS NOT NULL
+          THEN '"' || ${ttlEscSql("obj")} || '"@' || objLang
+        WHEN objDatatype IS NOT NULL
+          THEN '"' || ${ttlEscSql("obj")} || '"^^' ||
+               ${curieSql("objDatatype", rx)}
+        ELSE '"' || ${ttlEscSql("obj")} || '"' END"""
+
+  /** Whole-context Turtle dump — devel dumprdf's default format
+    * (devel.py:774-812: Graph().parse(distilled) → serialize
+    * format="turtle") and the distill stage's on-disk .ttl shape. A
+    * deterministic Turtle flavor rather than rdflib's pretty-printer
+    * byte stream (documented divergence — the reference's own distilled
+    * fixtures are READ by Rdfa/RdfaSpec, graph-level): @prefix header
+    * restricted to namespaces the graph actually touches, one block per
+    * subject, rdf:type first as `a`, predicates and objects sorted,
+    * ','/';' continuation, curies only for PN_LOCAL-safe names. Shape:
+    * triples render per-row from SHARED SQL text, then two sorted
+    * aggregations (per-predicate object lists, per-subject statement
+    * lists) — the Atom sink's deterministic string-assembly pattern; the
+    * header's used-namespace probe is one scalar aggregate. */
+  def ttlExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tr = t(ctx(spark))
+      .select("subj", "pred", "obj", "objIsLiteral", "objDatatype",
+        "objLang")
+      .distinct()
+    val rendered = tr.selectExpr(
+      "subj",
+      s"CASE WHEN pred = '$RdfType' THEN 0 ELSE 1 END AS pk",
+      s"CASE WHEN pred = '$RdfType' THEN 'a' " +
+        s"ELSE ${curieSql("pred", "regexp_like")} END AS p",
+      s"${ttlObjSql("regexp_like")} AS o")
+    val blocks = rendered
+      .groupBy("subj", "pk", "p")
+      .agg(array_join(array_sort(collect_list(col("o"))), ", ").as("objs"))
+      .groupBy("subj")
+      .agg(array_sort(collect_list(struct(col("pk"), col("p"),
+        col("objs")))).as("ps"))
+      .withColumn("body", array_join(
+        expr("transform(ps, x -> concat(x.p, ' ', x.objs))"), " ;\n    "))
+      .selectExpr("1 AS part", "subj AS key",
+        s"${curieSql("subj", "regexp_like")} || ' ' || body || ' .' AS ttl")
+    // one scalar probe: which namespaces does the graph touch at all?
+    val terms = tr.select(col("pred").as("u"))
+      .union(tr.filter(!col("objIsLiteral")).select(col("obj")))
+      .union(tr.filter(col("objDatatype").isNotNull).select(col("objDatatype")))
+      .union(tr.select(col("subj")))
+    val usedRow = terms.agg(
+      TtlPrefixes.map { case (p, ns) =>
+        max(col("u").startsWith(ns)).as(p)
+      }.head, TtlPrefixes.map { case (p, ns) =>
+        max(col("u").startsWith(ns)).as(p)
+      }.tail: _*).collect()(0)
+    val header = TtlPrefixes.zipWithIndex.collect {
+      case ((p, ns), i) if usedRow.getBoolean(i) =>
+        (0, p, s"@prefix $p: <$ns> .")
+    }.toDF("part", "key", "ttl")
+    header.union(blocks).orderBy("part", "key")
+  }
+
   /** N-Triples codec round-trip over the WHOLE materialized graph:
     * serialize every distinct statement with Triple.toNt, parse it back
     * with Triple.fromNt, and count symmetric differences — the dump.nt
@@ -954,6 +1059,7 @@ object KgQueries {
     "kg_keyword_entities" -> keywordEntities,
     "kg_nt_export" -> ntExport,
     "kg_nt_roundtrip" -> ntRoundtrip,
+    "kg_ttl_export" -> ((s, d) => ttlExport(s, d)),
     "kg_search" -> ((s, d) => search(s, d)),
     "kg_search_wildcard" -> ((s, d) =>
       search(s, d, uriGlob = Some("*/rfc/1*"))),
@@ -1309,6 +1415,41 @@ object KgQueries {
          regexp_extract(obj, '([^/#]+)[/#]?$$', 1) AS label
          FROM read_parquet('__BASE__/kg_triples/*.parquet')
          WHERE pred = '${dct("subject")}' AND NOT objIsLiteral""",
+    // the turtle dump re-assembled from the same shared SQL fragments
+    // (curie/escape/object text is literally identical; only the regex
+    // function name and the ordered-aggregation syntax differ per engine)
+    "kg_ttl_export" ->
+      s"""WITH tr AS (SELECT DISTINCT subj, pred, obj, objIsLiteral,
+             objDatatype, objLang
+           FROM read_parquet('__BASE__/kg_triples/*.parquet')),
+         r AS (SELECT subj,
+             CASE WHEN pred = '$RdfType' THEN 0 ELSE 1 END AS pk,
+             CASE WHEN pred = '$RdfType' THEN 'a'
+                  ELSE ${curieSql("pred", "regexp_matches")} END AS p,
+             ${ttlObjSql("regexp_matches")} AS o
+           FROM tr),
+         pp AS (SELECT subj, pk, p,
+             string_agg(o, ', ' ORDER BY o) AS objs
+           FROM r GROUP BY 1, 2, 3),
+         blocks AS (SELECT 1 AS part, subj AS key,
+             ${curieSql("subj", "regexp_matches")} || ' ' ||
+             string_agg(p || ' ' || objs, ' ;' || chr(10) || '    '
+               ORDER BY pk, p, objs) || ' .' AS ttl
+           FROM pp GROUP BY subj),
+         terms AS (SELECT pred AS u FROM tr
+           UNION ALL SELECT obj FROM tr WHERE NOT objIsLiteral
+           UNION ALL SELECT objDatatype FROM tr
+             WHERE objDatatype IS NOT NULL
+           UNION ALL SELECT subj FROM tr),
+         hdr AS (${TtlPrefixes.map { case (p, ns) =>
+          s"""SELECT 0 AS part, '$p' AS key,
+              '@prefix $p: <$ns> .' AS ttl
+              WHERE EXISTS (SELECT 1 FROM terms
+                            WHERE left(u, ${ns.length}) = '$ns')"""
+        }.mkString(" UNION ALL ")})
+         SELECT part, key, ttl FROM hdr
+         UNION ALL SELECT part, key, ttl FROM blocks
+         ORDER BY part, key""",
     "kg_nt_export" ->
       """WITH tr AS (SELECT * FROM read_parquet('__BASE__/kg_triples/*.parquet')),
          esc AS (SELECT *,

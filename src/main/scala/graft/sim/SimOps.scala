@@ -58,10 +58,22 @@ object SimOps {
     new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
   graft.CacheRegistry.onRelease(() => memo.clear())
 
+  /** NOT computeIfAbsent: a build may recursively memoize ANOTHER key
+    * (semDedup's pair table builds over the normed table), and a nested
+    * insert into the same ConcurrentHashMap throws the JDK's "Recursive
+    * update". get-then-putIfAbsent tolerates the nesting (same note as
+    * TextOps.memoTrack). */
   private def memoTrack(tag: String, spark: SparkSession, dir: String)
-                       (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((tag, spark, dir),
-      _ => graft.CacheRegistry.track(build))
+                       (build: => DataFrame): DataFrame = {
+    val k = (tag, spark, dir)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = graft.CacheRegistry.track(build)
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** The normed embedding table — ivfKnn/semDedup/kmeans all start here. */
   private def normedEmb(spark: SparkSession, dir: String): DataFrame =

@@ -353,10 +353,23 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
   graft.CacheRegistry.onRelease(() => memo.clear())
 
+  /** NOT computeIfAbsent: a build may recursively memoize ANOTHER key
+    * (dedup-apply's pair table builds over the shingle index), and a
+    * nested insert into the same ConcurrentHashMap throws the JDK's
+    * "Recursive update". get-then-putIfAbsent tolerates the nesting; the
+    * benign race (two threads both building) costs one duplicate plan,
+    * and queries run sequentially here anyway. */
   private def memoTrack(tag: String, spark: SparkSession, dir: String)
-                       (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((tag, spark, dir),
-      _ => graft.CacheRegistry.track(build))
+                       (build: => DataFrame): DataFrame = {
+    val k = (tag, spark, dir)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = graft.CacheRegistry.track(build)
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     memoTrack("shingles", spark, dir)(shingles(spark, dir))

@@ -141,6 +141,31 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("ttl export: parse-back reproduces the materialized graph exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = KgQueries.ttlExport(spark, "").collect()
+    assert(rows.exists(r => r.getAs[Int]("part") == 0 &&
+      r.getAs[String]("ttl").startsWith("@prefix dcterms:")))
+    // only namespaces the graph touches get declared
+    assert(!rows.exists(r => r.getAs[String]("key") == "foaf"))
+    val text = rows.map(_.getAs[String]("ttl")).mkString("\n")
+    val got = TtlTestReader.parse(text)
+    val want = KgQueries.ctx(spark).triples
+      .select("subj", "pred", "obj", "objIsLiteral", "objDatatype",
+        "objLang").distinct().collect()
+      .map { r =>
+        val t = graft.model.Triple(r.getString(0), r.getString(1),
+          r.getString(2), r.getBoolean(3), Option(r.getString(4)),
+          Option(r.getString(5)), "")
+        t
+      }.toSet
+    val key = (t: graft.model.Triple) =>
+      (t.subj, t.pred, t.obj, t.objIsLiteral, t.objDatatype, t.objLang)
+    assert(got.map(key) == want.map(key),
+      s"missing=${(want.map(key) -- got.map(key)).take(3)} " +
+        s"extra=${(got.map(key) -- want.map(key)).take(3)}")
+  }
+
   test("csvField matches Python csv QUOTE_MINIMAL (';' delimiter)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
