@@ -54,4 +54,36 @@ object CacheRegistry {
 
   /** Number of currently tracked frames (spec support). */
   def trackedCount: Int = tracked.size()
+
+  // ---------------------------------------------------------- memoTrack
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+  onRelease(() => memo.clear())
+
+  /** One tracked persist per (tag, session, dir) — shared by TextOps and
+    * SimOps so re-invoked operators and operators composing over a shared
+    * intermediate (shingle index, normed embeddings, pair tables) never
+    * re-persist identical plans or recompute an expensive subtree per
+    * action. Cleared with the registry.
+    *
+    * NOT computeIfAbsent: a build may recursively memoize ANOTHER key
+    * (dedup-apply's pair table builds over the shingle index; SemDeDup's
+    * pair table over the normed table), and a nested insert into the same
+    * ConcurrentHashMap throws the JDK's "Recursive update".
+    * get-then-putIfAbsent tolerates the nesting; the benign race (two
+    * threads both building) costs one duplicate plan, and queries run
+    * sequentially in the harnesses anyway. */
+  def memoTrack(tag: String, spark: org.apache.spark.sql.SparkSession,
+                dir: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val k = (tag, spark, dir)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = track(build)
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 }

@@ -49,18 +49,22 @@ object Verify {
       }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      // clear the target FIRST: when outDir is reused (local loops), a
-      // failing query must show up as MISSING in the compare, not pass
-      // silently against its previous run's parquet
-      val target = Paths.get(s"$outDir/$name")
-      if (Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // clear the target FIRST: when outDir is reused (local loops), a
+        // failing query must show up as MISSING in the compare, not pass
+        // silently against its previous run's parquet. Inside the try so
+        // an undeletable file fails THIS query, not the whole run.
+        val target = Paths.get(s"$outDir/$name")
+        if (Files.exists(target)) {
+          val walk = Files.walk(target)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          } finally walk.close()
+        }
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // builder-local caches die with their query (VERDICT r2 #5)

@@ -77,6 +77,14 @@ object KgQueries {
   /** Facet SELECT (facet_query, documentrepository.py:2293-2383):
     * `SELECT ?uri ?title ?publisher ?issued ?category WHERE { ?uri a rfc:* .
     * OPTIONAL ... }` as filter + pivot-by-join over the triple table. */
+  /** One facet column: per-subject deterministic pick (min) of a
+    * predicate's objects — the selection rule the pivot AND the csv
+    * inventory share (one definition so they can never diverge). */
+  private def facetCol(tr: DataFrame, pred: String, name: String): DataFrame =
+    tr.filter(col("pred") === pred)
+      .groupBy(col("subj").as("uri"))
+      .agg(min(col("obj")).as(name))
+
   def facetPivot(spark: SparkSession, dir: String): DataFrame = {
     val tr = t(ctx(spark))
     // document-level types: the rfc ontology families plus the court
@@ -86,15 +94,11 @@ object KgQueries {
         (col("obj").startsWith(Vocab.RFC_NS) ||
          col("obj") === Vocab.rpubl("Rattsfallsreferat")))
       .select(col("subj").as("uri"), col("obj").as("rdf_type"))
-    def facetCol(pred: String, name: String) =
-      tr.filter(col("pred") === pred)
-        .groupBy(col("subj").as("uri"))
-        .agg(min(col("obj")).as(name)) // min = deterministic pick
     typed
-      .join(facetCol(Vocab.dcterms("title"), "title"), Seq("uri"), "left")
-      .join(facetCol(Vocab.dcterms("publisher"), "publisher"), Seq("uri"), "left")
-      .join(facetCol(Vocab.dcterms("issued"), "issued"), Seq("uri"), "left")
-      .join(facetCol(Vocab.dcterms("subject"), "category"), Seq("uri"), "left")
+      .join(facetCol(tr, Vocab.dcterms("title"), "title"), Seq("uri"), "left")
+      .join(facetCol(tr, Vocab.dcterms("publisher"), "publisher"), Seq("uri"), "left")
+      .join(facetCol(tr, Vocab.dcterms("issued"), "issued"), Seq("uri"), "left")
+      .join(facetCol(tr, Vocab.dcterms("subject"), "category"), Seq("uri"), "left")
       .dropDuplicates("uri")
       .orderBy("uri")
   }
@@ -397,7 +401,7 @@ object KgQueries {
     * Column.contains) and the score side agree for terms carrying regex
     * metacharacters ("i.e.", "c++"); mirrors the oracle's literal
     * replace(). */
-  private def termCount(c: org.apache.spark.sql.Column, term: String) =
+  private[graft] def termCount(c: org.apache.spark.sql.Column, term: String) =
     (length(c) - length(regexp_replace(c,
       java.util.regex.Pattern.quote(term), ""))) / term.length
 
@@ -653,9 +657,7 @@ object KgQueries {
          col("obj") === Vocab.rpubl("Rattsfallsreferat")))
       .groupBy(col("subj").as("uri"), col("repo"))
       .agg(min(qnamed(col("obj"))).as("rdf_type"))
-    def lit1(pred: String, name: String) =
-      tr.filter(col("pred") === pred)
-        .groupBy(col("subj").as("uri")).agg(min(col("obj")).as(name))
+    def lit1(pred: String, name: String) = facetCol(tr, pred, name)
     val subs = tr.filter(col("pred") === Vocab.RDF_TYPE)
       .select(substring_index(col("subj"), "#", 1).as("uri"))
       .groupBy("uri").agg(count(lit(1)).as("subobjects"))
@@ -676,7 +678,10 @@ object KgQueries {
           csvField(col("title")),
           csvField(col("issued")),
           csvField(col("generated_by"))).as("csv_line"))
-      .orderBy("repo", "basefile")
+      // csv_line completes the total order: two docs in one repo can
+      // share a final URI path segment, and a non-unique sort key would
+      // leave tied rows engine-ordered under the byte-level compare
+      .orderBy("repo", "basefile", "csv_line")
   }
 
   // ------------------------------------------------------- turtle dump
@@ -698,20 +703,25 @@ object KgQueries {
     "skos" -> "http://www.w3.org/2004/02/skos/core#",
     "xsd" -> Vocab.XSD)
 
-  /** PN_LOCAL-safe local-name test shared by both engines. */
-  private val TtlLocalRx = "^[A-Za-z][A-Za-z0-9_-]*$"
-
   /** SQL fragment rendering a URI term as a curie when a declared
     * namespace matches AND the local part is PN_LOCAL-safe, else
-    * <absolute>. `rx` differs per engine (Spark regexp_like, DuckDB
-    * regexp_matches); everything else is shared text so the two
-    * renderings cannot drift. */
-  private def curieSql(e: String, rx: String): String =
+    * <absolute>. Everything except two engine dialect points is shared
+    * text so the renderings cannot drift: the regex function name
+    * (Spark regexp_like, DuckDB regexp_matches), and the string-literal
+    * escaping of the pattern's \z anchor (Spark SQL literals process
+    * backslash escapes, DuckDB's do not). \z, not $, because Java's $
+    * also matches before a trailing newline while RE2's does not —
+    * \z is strict end-of-text in both. */
+  private def curieSql(e: String, duck: Boolean): String = {
+    val rx = if (duck) "regexp_matches" else "regexp_like"
+    val pat = if (duck) "^[A-Za-z][A-Za-z0-9_-]*\\z"
+              else "^[A-Za-z][A-Za-z0-9_-]*\\\\z"
     TtlPrefixes.map { case (p, ns) =>
       s"""WHEN left($e, ${ns.length}) = '$ns' AND
-          $rx(substr($e, ${ns.length + 1}), '$TtlLocalRx')
+          $rx(substr($e, ${ns.length + 1}), '$pat')
           THEN '$p:' || substr($e, ${ns.length + 1})"""
     }.mkString("CASE ", " ", s" ELSE '<' || $e || '>' END")
+  }
 
   /** Turtle string escaping — the same five NT escapes Triple.toNt
     * applies (backslash first), as shared SQL text. */
@@ -722,13 +732,13 @@ object KgQueries {
         chr(9), chr(92) || 't')"""
 
   /** Object-term rendering (literals with @lang / ^^datatype curie). */
-  private def ttlObjSql(rx: String): String =
-    s"""CASE WHEN NOT objIsLiteral THEN ${curieSql("obj", rx)}
+  private def ttlObjSql(duck: Boolean): String =
+    s"""CASE WHEN NOT objIsLiteral THEN ${curieSql("obj", duck)}
         WHEN objLang IS NOT NULL
           THEN '"' || ${ttlEscSql("obj")} || '"@' || objLang
         WHEN objDatatype IS NOT NULL
           THEN '"' || ${ttlEscSql("obj")} || '"^^' ||
-               ${curieSql("objDatatype", rx)}
+               ${curieSql("objDatatype", duck)}
         ELSE '"' || ${ttlEscSql("obj")} || '"' END"""
 
   /** Whole-context Turtle dump — devel dumprdf's default format
@@ -746,16 +756,19 @@ object KgQueries {
     * header's used-namespace probe is one scalar aggregate. */
   def ttlExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tr = t(ctx(spark))
-      .select("subj", "pred", "obj", "objIsLiteral", "objDatatype",
-        "objLang")
-      .distinct()
+    // persisted: the rendered blocks plus the four used-namespace probe
+    // branches would otherwise re-run the full-table DISTINCT five times
+    val tr = graft.CacheRegistry.memoTrack("ttlStmts", spark, dir)(
+      t(ctx(spark))
+        .select("subj", "pred", "obj", "objIsLiteral", "objDatatype",
+          "objLang")
+        .distinct())
     val rendered = tr.selectExpr(
       "subj",
       s"CASE WHEN pred = '$RdfType' THEN 0 ELSE 1 END AS pk",
       s"CASE WHEN pred = '$RdfType' THEN 'a' " +
-        s"ELSE ${curieSql("pred", "regexp_like")} END AS p",
-      s"${ttlObjSql("regexp_like")} AS o")
+        s"ELSE ${curieSql("pred", duck = false)} END AS p",
+      s"${ttlObjSql(duck = false)} AS o")
     val blocks = rendered
       .groupBy("subj", "pk", "p")
       .agg(array_join(array_sort(collect_list(col("o"))), ", ").as("objs"))
@@ -765,7 +778,7 @@ object KgQueries {
       .withColumn("body", array_join(
         expr("transform(ps, x -> concat(x.p, ' ', x.objs))"), " ;\n    "))
       .selectExpr("1 AS part", "subj AS key",
-        s"${curieSql("subj", "regexp_like")} || ' ' || body || ' .' AS ttl")
+        s"${curieSql("subj", duck = false)} || ' ' || body || ' .' AS ttl")
     // one scalar probe: which namespaces does the graph touch at all?
     val terms = tr.select(col("pred").as("u"))
       .union(tr.filter(!col("objIsLiteral")).select(col("obj")))
@@ -1281,7 +1294,7 @@ object KgQueries {
            ${sqlCsvField("title")} || ';' ||
            ${sqlCsvField("issued")} || ';' ||
            ${sqlCsvField("generated_by")} AS csv_line
-         FROM inv ORDER BY repo, basefile""",
+         FROM inv ORDER BY repo, basefile, csv_line""",
     "kg_stats" ->
       s"""WITH $pivotCte,
          obs AS (SELECT 'publisher' AS dimension, publisher AS value, uri
@@ -1425,14 +1438,14 @@ object KgQueries {
          r AS (SELECT subj,
              CASE WHEN pred = '$RdfType' THEN 0 ELSE 1 END AS pk,
              CASE WHEN pred = '$RdfType' THEN 'a'
-                  ELSE ${curieSql("pred", "regexp_matches")} END AS p,
-             ${ttlObjSql("regexp_matches")} AS o
+                  ELSE ${curieSql("pred", duck = true)} END AS p,
+             ${ttlObjSql(duck = true)} AS o
            FROM tr),
          pp AS (SELECT subj, pk, p,
              string_agg(o, ', ' ORDER BY o) AS objs
            FROM r GROUP BY 1, 2, 3),
          blocks AS (SELECT 1 AS part, subj AS key,
-             ${curieSql("subj", "regexp_matches")} || ' ' ||
+             ${curieSql("subj", duck = true)} || ' ' ||
              string_agg(p || ' ' || objs, ' ;' || chr(10) || '    '
                ORDER BY pk, p, objs) || ' .' AS ttl
            FROM pp GROUP BY subj),

@@ -49,31 +49,11 @@ object SimOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** One tracked persist per (tag, session, dir) — operators re-invoked
-    * in the same session (bench min-of-2 passes, PlanShapeSpec's
-    * warm-then-inspect double call) would otherwise re-persist identical
-    * plans (CacheManager "already cached" warnings, duplicate registry
-    * entries). Cleared with the registry like [[pairsCache]]. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
-  graft.CacheRegistry.onRelease(() => memo.clear())
-
-  /** NOT computeIfAbsent: a build may recursively memoize ANOTHER key
-    * (semDedup's pair table builds over the normed table), and a nested
-    * insert into the same ConcurrentHashMap throws the JDK's "Recursive
-    * update". get-then-putIfAbsent tolerates the nesting (same note as
-    * TextOps.memoTrack). */
+  /** One tracked persist per (tag, session, dir) — see
+    * [[graft.CacheRegistry.memoTrack]] (shared with TextOps). */
   private def memoTrack(tag: String, spark: SparkSession, dir: String)
-                       (build: => DataFrame): DataFrame = {
-    val k = (tag, spark, dir)
-    val hit = memo.get(k)
-    if (hit != null) hit
-    else {
-      val built = graft.CacheRegistry.track(build)
-      val prev = memo.putIfAbsent(k, built)
-      if (prev != null) prev else built
-    }
-  }
+                       (build: => DataFrame): DataFrame =
+    graft.CacheRegistry.memoTrack(tag, spark, dir)(build)
 
   /** The normed embedding table — ivfKnn/semDedup/kmeans all start here. */
   private def normedEmb(spark: SparkSession, dir: String): DataFrame =

@@ -343,33 +343,11 @@ object TextOps {
               element_at(col("w"), i + 3))))).as("shingle"))
   }
 
-  /** One tracked persist per (tag, session, dir) — re-invoked operators
-    * and operators composing over a shared intermediate (the shingle
-    * index, the LR feature frame, dedup-apply's pair table) would
-    * otherwise re-persist identical plans or recompute an expensive
-    * subtree per action. Cleared with the registry (same pattern as
-    * SimOps). */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
-  graft.CacheRegistry.onRelease(() => memo.clear())
-
-  /** NOT computeIfAbsent: a build may recursively memoize ANOTHER key
-    * (dedup-apply's pair table builds over the shingle index), and a
-    * nested insert into the same ConcurrentHashMap throws the JDK's
-    * "Recursive update". get-then-putIfAbsent tolerates the nesting; the
-    * benign race (two threads both building) costs one duplicate plan,
-    * and queries run sequentially here anyway. */
+  /** One tracked persist per (tag, session, dir) — see
+    * [[graft.CacheRegistry.memoTrack]] (shared with SimOps). */
   private def memoTrack(tag: String, spark: SparkSession, dir: String)
-                       (build: => DataFrame): DataFrame = {
-    val k = (tag, spark, dir)
-    val hit = memo.get(k)
-    if (hit != null) hit
-    else {
-      val built = graft.CacheRegistry.track(build)
-      val prev = memo.putIfAbsent(k, built)
-      if (prev != null) prev else built
-    }
-  }
+                       (build: => DataFrame): DataFrame =
+    graft.CacheRegistry.memoTrack(tag, spark, dir)(build)
 
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     memoTrack("shingles", spark, dir)(shingles(spark, dir))
@@ -940,11 +918,10 @@ object TextOps {
       .orderBy("rk")
   }
 
-  /** Occurrences of the literal `term` in `c` (the kg search scorer's
-    * counting trick, KgQueries.termCount). */
+  /** Occurrences of the literal `term` in `c` — the kg search scorer's
+    * counting trick, one definition for both families. */
   private def termCount(c: Column, term: String): Column =
-    (length(c) - length(regexp_replace(c,
-      java.util.regex.Pattern.quote(term), ""))) / term.length
+    graft.kg.KgQueries.termCount(c, term)
 
   /** Gradient-descent iterations for [[lrQuality]] — fixed (not
     * convergence-tested) so the oracle replays the identical chain. */
