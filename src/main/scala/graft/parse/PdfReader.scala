@@ -55,7 +55,13 @@ object PdfReader {
     * marks the LinkedTextelement subclass. */
   final case class TextEl(text: String, tag: Option[String],
                           uri: Option[String] = None,
-                          geom: Option[Geom] = None) {
+                          geom: Option[Geom] = None,
+                          /** The tag of a skipped empty preceding run
+                            * ("<i> </i>text" → Some("i")) — recorded
+                            * because the unreliable-font-family glue
+                            * heuristics need it (pdfreader.py:890-895,
+                            * offtryck.py:216-226). */
+                          skippedEmpty: Option[String] = None) {
     def linked: Boolean = uri.isDefined
 
     /** Textelement.__add__ (pdfreader.py:1579-1618): insert a space
@@ -71,7 +77,8 @@ object PdfReader {
         if (text.nonEmpty && text.last == '-' && other.text.nonEmpty &&
             other.text.head.isLower) text.dropRight(1)
         else text
-      TextEl(selfText + extraspace + other.text, tag, uri)
+      TextEl(selfText + extraspace + other.text, tag, uri,
+        skippedEmpty = skippedEmpty)
     }
   }
 
@@ -317,9 +324,20 @@ object PdfReader {
           } else {
             // a TAIL of the previous child: belongs to THIS element's
             // run (origkwargs — pdfreader.py:885-905)
-            if (s.trim.nonEmpty)
+            if (s.trim.nonEmpty) {
+              // "<i> </i>text": record that an empty run was skipped —
+              // the unreliable-font-family glue heuristic reads it
+              // (pdfreader.py:890-895)
+              val skipped = (if (childIdx > 0) Some(childEls(childIdx - 1))
+                             else None)
+                .filter { pc =>
+                  val t = pc.getTextContent
+                  t != null && t.nonEmpty && t.trim.isEmpty
+                }
+                .map(_.getNodeName)
               res += cleaned(myTag, myUri, myLinked, normspace(s))
-            else if (res.nonEmpty && !res.last.linked &&
+                .copy(skippedEmpty = skipped)
+            } else if (res.nonEmpty && !res.last.linked &&
                      res.last.text.nonEmpty &&
                      !Set(' ', '–', '-')(res.last.text.last))
               res(res.length - 1) =

@@ -119,6 +119,63 @@ object PdfOps {
       .orderBy("doc", "page", "tb_seq")
   }
 
+  /** Offtryck-glue boundary flags per raw box: the REAL
+    * [[graft.parse.OfftryckGlue]] predicate run under the same
+    * streaming fold textboxes() applies (whitespace-only boxes dropped
+    * exactly as textboxes() drops them). The predicate itself is
+    * golden-tested against the reference's own integrationOfftryck
+    * fixtures (OfftryckGlueSpec); this dump lets the oracle replay the
+    * RELATIONAL layer — grouping, geometry, seam folding — without
+    * restating the 130-rule geometry predicate in SQL (the simhash/
+    * fingerprint base-dump pattern). */
+  def offtryckFlags(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(NDocs).as[Long].flatMap { d =>
+      val pdf = PdfReader.parseXml(artifact(d.toInt))
+      val glue = graft.parse.OfftryckGlue.gluefunc(pdf.fontspec,
+        scannedSource = false)
+      pdf.pages.flatMap { page =>
+        var textbox: Option[PdfReader.Textbox] = None
+        var prevbox: Option[PdfReader.Textbox] = None
+        page.boxes.zipWithIndex.flatMap { case (b, i) =>
+          if (b.text.trim.isEmpty) None
+          else {
+            val glued = textbox.exists(tb =>
+              glue(tb, b, prevbox.getOrElse(tb)))
+            textbox = if (glued) textbox.map(_ + b) else Some(b)
+            prevbox = Some(b)
+            Some((d, page.number, i, glued))
+          }
+        }
+      }
+    }.toDF("doc", "page", "seq", "glued")
+  }
+
+  /** Official-print paragraph segmentation — the proposition/SOU
+    * textbox-merging semantics (offtryck.py get_gluefunc) as a
+    * distributed operator: the real gluefunc through the real
+    * PdfReader.textboxes() stream, one document per row (narrow map,
+    * no shuffle until the output order — the [[textboxes]] execution
+    * shape; at 100 TB the per-doc fold stays embarrassingly
+    * parallel). */
+  def offtryckParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(NDocs).as[Long].flatMap { d =>
+      val pdf = PdfReader.parseXml(artifact(d.toInt))
+      val glue = graft.parse.OfftryckGlue.gluefunc(pdf.fontspec,
+        scannedSource = false)
+      pdf.pages.flatMap { page =>
+        val one = pdf.copy(pages = Vector(page))
+        one.textboxes(glue).zipWithIndex.map { case (tb, i) =>
+          (d, page.number, i + 1, tb.top, tb.left, tb.bottom, tb.right,
+            tb.text)
+        }
+      }
+    }.toDF("doc", "page", "para_seq", "top", "left", "bottom", "right",
+        "text")
+      .orderBy("doc", "page", "para_seq")
+  }
+
   /** Per-document [[PdfAnalyzer]] metrics — the REAL analyzer run as a
     * narrow distributed map (one artifact parsed + analyzed per row, no
     * shuffle), re-derived relationally by the oracle below from the
@@ -306,10 +363,12 @@ object PdfOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pdf_textboxes" -> textboxes,
     "pdf_analyze_metrics" -> analyzeMetrics,
+    "pdf_offtryck_paragraphs" -> offtryckParagraphs,
     "pdf_hocr_lines" -> hocrLines)
 
   val baseTables: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pdf_boxes" -> ((s, _) => rawBoxes(s)),
+    "pdf_glue_flags" -> ((s, _) => offtryckFlags(s)),
     "pdf_hocr_words" -> ((s, _) => rawHocrWords(s)))
 
   /** The glue stream re-derived relationally: lag()-window boundary on
@@ -497,6 +556,47 @@ object PdfOps {
              AND fh <= fontsize/2.0) AS sup,
            text
          FROM l""",
+    // grouping via the dumped offtryck glue flags (the predicate is
+    // golden-tested; the relational layer — cumulative grouping,
+    // bbox union, the Textbox.__add__ seam fold — is re-derived here)
+    "pdf_offtryck_paragraphs" ->
+      """WITH raw AS (
+           SELECT doc, page, seq, top, "left",
+             top + height AS bottom, "left" + width AS "right", text
+           FROM read_parquet('__BASE__/pdf_boxes/*.parquet')
+           WHERE trim(text) <> ''),
+         fl AS (
+           SELECT doc, page, seq, glued
+           FROM read_parquet('__BASE__/pdf_glue_flags/*.parquet')),
+         w AS (
+           SELECT raw.*, CASE WHEN fl.glued THEN 0 ELSE 1 END AS newgrp
+           FROM raw JOIN fl USING (doc, page, seq)),
+         g AS (
+           SELECT *, sum(newgrp)
+             OVER (PARTITION BY doc, page ORDER BY seq) AS grp
+           FROM w),
+         e AS (
+           SELECT *,
+             lead(text) OVER (PARTITION BY doc, page, grp
+                              ORDER BY seq) AS nxt
+           FROM g),
+         f AS (
+           SELECT doc, page, grp, seq, top, "left", bottom, "right",
+             (CASE WHEN nxt IS NOT NULL AND text LIKE '%-'
+                        AND regexp_matches(nxt, '^[a-z]')
+                   THEN substr(text, 1, length(text) - 1)
+                   ELSE text END) ||
+             (CASE WHEN nxt IS NOT NULL
+                        AND NOT (text LIKE '% ' OR text LIKE '%-'
+                                 OR text LIKE '%–'
+                                 OR nxt LIKE ' %')
+                   THEN ' ' ELSE '' END) AS emit
+           FROM e)
+         SELECT doc, page, cast(grp AS int) AS para_seq,
+           min(top) AS top, min("left") AS "left",
+           cast(max(bottom) AS int) AS bottom, max("right") AS "right",
+           string_agg(emit, '' ORDER BY seq) AS text
+         FROM f GROUP BY doc, page, grp""",
     "pdf_textboxes" ->
       """WITH b AS (
            SELECT *,
