@@ -1085,6 +1085,7 @@ object KgQueries {
     "kg_search_ac" -> ((s, d) => acSearch(s, d)),
     "kg_atom_feeds" -> ((s, d) => atomFeeds(s, d)),
     "kg_csv_inventory" -> ((s, d) => csvInventory(s, d)),
+    "kg_fs_props" -> ((s, d) => FsCorpus.fsProps(s, d)),
     "kg_search_boosted" -> ((s, d) => searchBoosted(s, d)),
     "kg_search_boosted_less" -> ((s, d) =>
       searchBoosted(s, d, range = Less(2006))),
@@ -1254,6 +1255,9 @@ object KgQueries {
          FROM rw""",
     "kg_facet_pivot" ->
       s"WITH $pivotCte SELECT * FROM piv",
+    // the MyndFskr chain replayed from the planting formulas — see
+    // FsCorpus.oracleSql
+    "kg_fs_props" -> FsCorpus.oracleSql,
     // csvinventory re-rendered byte-for-byte: same doc set as the pivot,
     // same qname collapse, same QUOTE_MINIMAL field escaping
     "kg_csv_inventory" ->
