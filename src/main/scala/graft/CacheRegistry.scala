@@ -83,7 +83,15 @@ object CacheRegistry {
     else {
       val built = track(build)
       val prev = memo.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      if (prev != null) {
+        // losing side of the benign race / nested-build path: the fresh
+        // plan was already persisted by track() but will never be used —
+        // unpersist and drop it so only the winner stays registered
+        try built.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        tracked.remove(built)
+        prev
+      } else built
     }
   }
 }

@@ -261,6 +261,25 @@ object MyndFskr {
     props.toMap
   }
 
+  /** sanitize_basefile (myndfskr.py:210-226): normalize an identifier
+    * ("DVFS 2012:4", "ELSÄK-FS 2012.04") to a canonical
+    * `fs/year:number` basefile, minting the series fragment from the
+    * identifier's own FS label. `fallbackFs` plays the role of the
+    * repo's forfattningssamlingar()[0] for labels with no series part. */
+  def sanitizeBasefile(identifier: String, fallbackFs: String): String = {
+    val segments = identifier.toLowerCase.split("[ ./:_-]+").toVector
+      .filter(_.nonEmpty)
+    val normalized = segments.init :+ segments.last.toInt.toString
+    normalized.length match {
+      case 2 => s"$fallbackFs/${normalized(0)}:${normalized(1)}"
+      case 3 => s"${normalized(0)}/${normalized(1)}:${normalized(2)}"
+      case 4 if normalized(1) == "fs" => // eg ELSÄK-FS, HSLF-FS
+        s"${normalized(0)}fs/${normalized(2)}:${normalized(3)}"
+      case _ =>
+        throw ParseError(s"Can't sanitize $identifier")
+    }
+  }
+
   // ----------------------------------------------- sanitize_metadata
   /** myndfskr.py:634-683 (the DocumentEntry fallback is download-side,
     * out of scope). Returns possibly-updated props. */
@@ -287,8 +306,11 @@ object MyndFskr {
         val Array(_, year, no) = id.split("[ :]")
         if (year != props("rpubl:arsutgava") ||
             no != props("rpubl:lopnummer")) {
-          val realbasefile =
-            s"${basefile.split("/").head}/$year:$no"
+          // re-derive the whole basefile from the identifier itself
+          // (myndfskr.py:665-667 via sanitize_basefile:210-226) — the
+          // identifier can also name a DIFFERENT forfattningssamling
+          // than the assumed basefile's series fragment
+          val realbasefile = sanitizeBasefile(id, basefile.split("/").head)
           props ++= metadataFromBasefile(realbasefile, res)
         }
       case None =>
@@ -432,17 +454,20 @@ object MyndFskr {
     }
 
     // a date that cannot be parsed stays a plain-string literal — the
-    // reference catches the ValueError and carries on (myndfskr.py:
-    // 784-787); Right = ISO date, Left = the raw string
+    // reference reassigns attributes[key] to the indirected value BEFORE
+    // the parse attempt (myndfskr.py:777-787), so its unparsable fallback
+    // is the resolved raw string, never the 'denna dag' sentinel; the
+    // sentinel indirection applies only to rpubl:ikrafttradandedatum
     def dateOf(key: String): Option[Either[String, String]] =
       props.get(key).map { v0 =>
-        val v = v0 match {
-          case "denna dag" => props("rpubl:beslutsdatum")
-          case "utkom från trycket" => props("rpubl:utkomFranTryck")
-          case other => other
-        }
+        val v =
+          if (key == "rpubl:ikrafttradandedatum") v0 match {
+            case "denna dag" => props("rpubl:beslutsdatum")
+            case "utkom från trycket" => props("rpubl:utkomFranTryck")
+            case other => other
+          } else v0
         try Right(parseSwedishDate(v))
-        catch { case _: Exception => Left(v0) }
+        catch { case _: Exception => Left(v) }
       }
 
     val genomfor = props.get("rpubl:genomforDirektiv").map(celex =>

@@ -43,6 +43,21 @@ class MyndFskrSpec extends AnyFunSuite {
     intercept[Exception](MyndFskr.parseSwedishDate("nästa vecka"))
   }
 
+  test("sanitizeBasefile: identifier-derived series fragment " +
+       "(myndfskr.py:210-226)") {
+    // 3 segments: the identifier's own FS label mints the fragment,
+    // even when it names a different series than the assumed basefile
+    assert(MyndFskr.sanitizeBasefile("DVFS 2012:4", "afs") == "dvfs/2012:4")
+    // leading-zero ordinals are integer-normalized
+    assert(MyndFskr.sanitizeBasefile("SJVFS 1991:02", "sjvfs") ==
+      "sjvfs/1991:2")
+    // 4 segments with a hyphenated FS label: hyphen eliminated
+    assert(MyndFskr.sanitizeBasefile("ELSÄK-FS 2012:4", "afs") ==
+      "elsäkfs/2012:4")
+    // 2 segments: no series part — fall back to the repo's series
+    assert(MyndFskr.sanitizeBasefile("2012:4", "afs") == "afs/2012:4")
+  }
+
   test("lookupOrg: exact, then difflib-style fuzzy at cutoff 0.8") {
     val res = MyndFskr.Resources(Map.empty, Map.empty, Map(
       "Arbetsmiljöverket" -> "http://rinfo.lagrummet.se/org/arbetsmiljoeverket",
