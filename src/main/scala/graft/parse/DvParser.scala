@@ -393,12 +393,12 @@ object DvParser {
     var currentCourt: Option[String] = None // None = no open instans
     var currentAny = false                  // open instans with unnamed court
 
-    def peek(p: FsmParser): String = p.reader.peekOpt().getOrElse("")
+    def peek(p: FsmParser[String]): String = p.reader.peekOpt().getOrElse("")
 
     def isDelmal(s: String): Boolean =
       s.trim.length < 20 && ReDelmal.matcher(s.trim).lookingAt()
 
-    def isInstans(p: FsmParser): Boolean = {
+    def isInstans(p: FsmParser[String]): Boolean = {
       val strchunk = peek(p)
       val res = analyzeInstans(strchunk, court)
       // HD domskäl sometimes mirrors the lower-court referat: a
@@ -417,25 +417,25 @@ object DvParser {
     }
 
     val recognizers = Vector(
-      Recognizer("delmal", p => isDelmal(peek(p))),
-      Recognizer("endmeta", p => ReEndmeta.matcher(peek(p)).lookingAt()),
-      Recognizer("instans", isInstans),
-      Recognizer("dom", p => analyzeDom(peek(p), court).isDefined),
-      Recognizer("betankande", p => Set(
+      Recognizer[String]("delmal", p => isDelmal(peek(p))),
+      Recognizer[String]("endmeta", p => ReEndmeta.matcher(peek(p)).lookingAt()),
+      Recognizer[String]("instans", isInstans),
+      Recognizer[String]("dom", p => analyzeDom(peek(p), court).isDefined),
+      Recognizer[String]("betankande", p => Set(
         "Målet avgjordes efter föredragning.",
         "HD avgjorde målet efter föredragning.").contains(peek(p).trim)),
-      Recognizer("domskal", p => analyzeDomskal(peek(p), court)),
-      Recognizer("domslut", p => analyzeDomslut(peek(p), court).isDefined),
-      Recognizer("skiljaktig", p => ReSkiljaktig.matcher(peek(p)).lookingAt()),
-      Recognizer("tillagg", p => ReTillagg.matcher(peek(p)).lookingAt()),
-      Recognizer("heading", p => {
+      Recognizer[String]("domskal", p => analyzeDomskal(peek(p), court)),
+      Recognizer[String]("domslut", p => analyzeDomslut(peek(p), court).isDefined),
+      Recognizer[String]("skiljaktig", p => ReSkiljaktig.matcher(peek(p)).lookingAt()),
+      Recognizer[String]("tillagg", p => ReTillagg.matcher(peek(p)).lookingAt()),
+      Recognizer[String]("heading", p => {
         val s = peek(p).trim
         s.nonEmpty && s.length < 140 && !s.endsWith(".") &&
           !s.endsWith(":") && !s.startsWith("”")
       }),
-      Recognizer("paragraph", _ => true))
+      Recognizer[String]("paragraph", _ => true))
 
-    val makeDelmal = Constructor("delmal", pushesState = true, p => {
+    val makeDelmal = Constructor[String]("delmal", pushesState = true, p => {
       val s = p.reader.next().trim
       val m = ReDelmal.matcher(s)
       m.lookingAt()
@@ -446,7 +446,7 @@ object DvParser {
       Some(p.makeChildren(TreeNode("Delmal", attrs)))
     })
 
-    val makeInstans = Constructor("instans", pushesState = true, p => {
+    val makeInstans = Constructor[String]("instans", pushesState = true, p => {
       val strchunk = p.reader.next()
       val idata = analyzeInstans(strchunk, court)
       val (node0, courtName) = idata match {
@@ -477,15 +477,15 @@ object DvParser {
       Some(res)
     })
 
-    val makeHeading = Constructor("heading", pushesState = false,
+    val makeHeading = Constructor[String]("heading", pushesState = false,
       p => Some(TreeNode("Heading", text = Some(p.reader.next().trim))))
 
-    val makeBetankande = Constructor("betankande", pushesState = true, p => {
+    val makeBetankande = Constructor[String]("betankande", pushesState = true, p => {
       val b = TreeNode("Betankande").appendText(p.reader.next())
       Some(p.makeChildren(b))
     })
 
-    val makeDom = Constructor("dom", pushesState = true, p => {
+    val makeDom = Constructor[String]("dom", pushesState = true, p => {
       // peek, not next — is_domskal gets a chance at the same chunk
       // (dv.py:2163-2166)
       val d = analyzeDom(peek(p), court).getOrElse(Hit())
@@ -494,21 +494,21 @@ object DvParser {
       Some(p.makeChildren(TreeNode("Dom", attrs)))
     })
 
-    val makeDomskal = Constructor("domskal", pushesState = true,
+    val makeDomskal = Constructor[String]("domskal", pushesState = true,
       p => Some(p.makeChildren(TreeNode("Domskal"))))
-    val makeDomslut = Constructor("domslut", pushesState = true,
+    val makeDomslut = Constructor[String]("domslut", pushesState = true,
       p => Some(p.makeChildren(TreeNode("Domslut"))))
-    val makeSkiljaktig = Constructor("skiljaktig", pushesState = true,
+    val makeSkiljaktig = Constructor[String]("skiljaktig", pushesState = true,
       p => Some(p.makeChildren(
         TreeNode("Skiljaktig").appendText(p.reader.next()))))
-    val makeTillagg = Constructor("tillagg", pushesState = true,
+    val makeTillagg = Constructor[String]("tillagg", pushesState = true,
       p => Some(p.makeChildren(
         TreeNode("Tillagg").appendText(p.reader.next()))))
-    val makeEndmeta = Constructor("endmeta", pushesState = true,
+    val makeEndmeta = Constructor[String]("endmeta", pushesState = true,
       p => Some(p.makeChildren(
         TreeNode("Endmeta").appendText(p.reader.next()))))
 
-    val makeParagraph = Constructor("paragraph", pushesState = false, p => {
+    val makeParagraph = Constructor[String]("paragraph", pushesState = false, p => {
       val chunk = p.reader.next()
       if (chunk.trim.isEmpty) None
       else {
@@ -521,12 +521,12 @@ object DvParser {
       }
     })
 
-    val pop = Transition(None, None)
-    def push(c: Constructor, st: String) = Transition(Some(c), Some(st))
+    val pop = Transition[String](None, None)
+    def push(c: Constructor[String], st: String) = Transition[String](Some(c), Some(st))
     val commonstates = Seq("body", "delmal", "instans", "dom", "domskal",
       "domslut", "betankande", "skiljaktig", "tillagg")
 
-    val transitions: Map[(String, String), Transition] = Map(
+    val transitions: Map[(String, String), Transition[String]] = Map(
       ("body", "delmal") -> push(makeDelmal, "delmal"),
       ("body", "instans") -> push(makeInstans, "instans"),
       ("body", "endmeta") -> push(makeEndmeta, "endmeta"),
@@ -570,13 +570,13 @@ object DvParser {
       ("tillagg", "tillagg") -> pop,
       ("tillagg", "delmal") -> pop,
       ("tillagg", "endmeta") -> pop,
-      ("endmeta", "paragraph") -> Transition(Some(makeParagraph), None)) ++
+      ("endmeta", "paragraph") -> Transition[String](Some(makeParagraph), None)) ++
       commonstates.map(s => (s, "heading") ->
-        Transition(Some(makeHeading), None)) ++
+        Transition[String](Some(makeHeading), None)) ++
       commonstates.map(s => (s, "paragraph") ->
-        Transition(Some(makeParagraph), None))
+        Transition[String](Some(makeParagraph), None))
 
-    val makeBody = Constructor("body", pushesState = true,
+    val makeBody = Constructor[String]("body", pushesState = true,
       p => Some(p.makeChildren(TreeNode("Body"))))
 
     val chunks = text.split("\n\\s*\n").iterator

@@ -12,21 +12,27 @@ import scala.collection.mutable
   * a constructor marked `pushesState` gets its own stack frame
   * (the reference's `@newstate` decorator, decorators.py:371-377).
   *
+  * Generic in the chunk type `C`: text parsers (RFC, markdown, DV) feed
+  * plain strings, the offtryck PDF structure parser feeds
+  * Page/Textbox tokens — matching the reference, whose FSMParser is
+  * likewise chunk-type-agnostic (fsmparser.py feeds both text paragraphs
+  * and pdfreader Textbox/Page objects).
+  *
   * Pure JVM-side logic: one instance per document inside a Dataset map
   * stage — no Spark types, no shared state, embarrassingly parallel.
   */
 object FsmParser {
 
-  final class Peekable(it: Iterator[String]) {
-    private val cache = mutable.Queue.empty[String]
+  final class Peekable[C](it: Iterator[C]) {
+    private val cache = mutable.Queue.empty[C]
     /** 1-based peek; None past end of input. */
-    def peekOpt(n: Int = 1): Option[String] = {
+    def peekOpt(n: Int = 1): Option[C] = {
       while (cache.size < n && it.hasNext) cache.enqueue(it.next())
       if (cache.size >= n) Some(cache(n - 1)) else None
     }
-    def peek(n: Int = 1): String =
+    def peek(n: Int = 1): C =
       peekOpt(n).getOrElse(throw new NoSuchElementException("peek past end"))
-    def next(): String =
+    def next(): C =
       if (cache.nonEmpty) cache.dequeue()
       else if (it.hasNext) it.next()
       else throw new NoSuchElementException("read past end")
@@ -34,39 +40,39 @@ object FsmParser {
   }
 
   /** Ordered predicate over the upcoming chunk(s). */
-  final case class Recognizer(name: String, matches: FsmParser => Boolean)
+  final case class Recognizer[C](name: String, matches: FsmParser[C] => Boolean)
 
   /** Node factory. `pushesState` ⇔ the reference's @newstate decorator:
     * the transition's newState becomes a pushed frame instead of replacing
     * the top of the stack. Returning None emits nothing (skip). */
-  final case class Constructor(
+  final case class Constructor[C](
       name: String,
       pushesState: Boolean,
-      build: FsmParser => Option[TreeNode])
+      build: FsmParser[C] => Option[TreeNode])
 
   /** constructor=None ⇔ the reference's `False` constructor: return to the
     * parent frame, optionally rewriting the state we return to. */
-  final case class Transition(
-      constructor: Option[Constructor],
+  final case class Transition[C](
+      constructor: Option[Constructor[C]],
       newState: Option[String])
 
-  final case class Config(
-      recognizers: Vector[Recognizer],
-      transitions: Map[(String, String), Transition],
+  final case class Config[C](
+      recognizers: Vector[Recognizer[C]],
+      transitions: Map[(String, String), Transition[C]],
       initialState: String,
-      initialConstructor: Constructor,
+      initialConstructor: Constructor[C],
       /** Callable transitions (the reference allows a transition VALUE to
         * be a function of (symbol, state_stack) — fsmparser.py:154-168,
         * used for context-dependent choices like "sublist or return to
         * parent list"). Looked up before `transitions`. */
-      dynamicTransitions: Map[(String, String), FsmParser => Transition] =
-        Map.empty)
+      dynamicTransitions: Map[(String, String), FsmParser[C] => Transition[C]] =
+        Map.empty[(String, String), FsmParser[C] => Transition[C]])
 }
 
-final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
+final class FsmParser[C](cfg: FsmParser.Config[C], chunks: Iterator[C]) {
   import FsmParser._
 
-  val reader = new Peekable(chunks)
+  val reader = new Peekable[C](chunks)
   private val stateStack = mutable.Stack[String](cfg.initialState)
 
   /** Current state stack, innermost first (for dynamic transitions). */
@@ -76,7 +82,7 @@ final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
     cfg.initialConstructor.build(this)
       .getOrElse(throw new IllegalStateException("root constructor returned nothing"))
 
-  private def analyzeSymbol(): Option[Recognizer] = {
+  private def analyzeSymbol(): Option[Recognizer[C]] = {
     if (reader.peekOpt().isEmpty) return None
     val state = stateStack.top
     val applicable = cfg.recognizers.filter(r =>
@@ -87,11 +93,11 @@ final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
       case None =>
         throw new IllegalStateException(
           s"No recognizer match in state '$state' for chunk " +
-          s"'${reader.peek().take(60)}' (tried ${applicable.map(_.name).mkString(", ")})")
+          s"'${reader.peek().toString.take(60)}' (tried ${applicable.map(_.name).mkString(", ")})")
     }
   }
 
-  private def makeChild(c: Constructor, childState: Option[String]): Option[TreeNode] = {
+  private def makeChild(c: Constructor[C], childState: Option[String]): Option[TreeNode] = {
     stateStack.push(childState.getOrElse(stateStack.top))
     try c.build(this) finally stateStack.pop()
   }
@@ -99,7 +105,7 @@ final class FsmParser(cfg: FsmParser.Config, chunks: Iterator[String]) {
   /** Direct child construction in an explicit state frame — the reference's
     * `parser.make_child(ctor, state)` used inside constructors
     * (rfc.py:322-327). */
-  def makeChildrenFrame(c: Constructor, state: String): Option[TreeNode] =
+  def makeChildrenFrame(c: Constructor[C], state: String): Option[TreeNode] =
     makeChild(c, Some(state))
 
   /** The engine loop: builds children for `parent` until a recognizer ends

@@ -18,50 +18,50 @@ object MdDoc {
   // ---- FSM config --------------------------------------------------------
   import FsmParser._
 
-  private def peek(p: FsmParser): String = p.reader.peek()
+  private def peek(p: FsmParser[String]): String = p.reader.peek()
 
-  private val isH1 = Recognizer("h1", p => peek(p).startsWith("# "))
-  private val isH2 = Recognizer("h2", p => peek(p).startsWith("## "))
-  private val isFence = Recognizer("fence", p => peek(p).startsWith("```"))
-  private val isListItem = Recognizer("listitem", p => peek(p).startsWith("- "))
-  private val isParagraph = Recognizer("paragraph", _ => true)
+  private val isH1 = Recognizer[String]("h1", p => peek(p).startsWith("# "))
+  private val isH2 = Recognizer[String]("h2", p => peek(p).startsWith("## "))
+  private val isFence = Recognizer[String]("fence", p => peek(p).startsWith("```"))
+  private val isListItem = Recognizer[String]("listitem", p => peek(p).startsWith("- "))
+  private val isParagraph = Recognizer[String]("paragraph", _ => true)
 
-  private def makeBody = Constructor("make_body", pushesState = true,
+  private def makeBody = Constructor[String]("make_body", pushesState = true,
     p => Some(p.makeChildren(TreeNode("Body"))))
 
-  private def makeTitle = Constructor("make_title", pushesState = false,
+  private def makeTitle = Constructor[String]("make_title", pushesState = false,
     p => Some(TreeNode("DocTitle", text = Some(p.reader.next().substring(2).trim))))
 
-  private def makeSection = Constructor("make_section", pushesState = true, { p =>
+  private def makeSection = Constructor[String]("make_section", pushesState = true, { p =>
     val title = p.reader.next().substring(3).trim
     Some(p.makeChildren(TreeNode("Section", attrs = Vector("title" -> title))))
   })
 
-  private def makeParagraph = Constructor("make_paragraph", pushesState = false,
+  private def makeParagraph = Constructor[String]("make_paragraph", pushesState = false,
     p => Some(TreeNode("Paragraph")
       .appendText(p.reader.next().split("\\s+").filter(_.nonEmpty).mkString(" "))))
 
-  private def makeFence = Constructor("make_fence", pushesState = false, { p =>
+  private def makeFence = Constructor[String]("make_fence", pushesState = false, { p =>
     // code fences are opaque: mention scanning must not see them
     val chunk = p.reader.next()
     Some(TreeNode("CodeBlock", attrs = Vector(
       "lang" -> chunk.linesIterator.next().drop(3).trim)))
   })
 
-  private def makeListItem = Constructor("make_md_listitem", pushesState = false,
+  private def makeListItem = Constructor[String]("make_md_listitem", pushesState = false,
     p => Some(TreeNode("ListItem").appendText(p.reader.next().substring(2).trim)))
 
-  val config: Config = {
-    val t = Map.newBuilder[(String, String), Transition]
-    t += ("body" -> "h1") -> Transition(Some(makeTitle), Some("content"))
-    t += ("content" -> "h2") -> Transition(Some(makeSection), Some("section"))
-    t += ("content" -> "paragraph") -> Transition(Some(makeParagraph), None)
-    t += ("content" -> "fence") -> Transition(Some(makeFence), None)
-    t += ("content" -> "listitem") -> Transition(Some(makeListItem), None)
-    t += ("section" -> "paragraph") -> Transition(Some(makeParagraph), None)
-    t += ("section" -> "fence") -> Transition(Some(makeFence), None)
-    t += ("section" -> "listitem") -> Transition(Some(makeListItem), None)
-    t += ("section" -> "h2") -> Transition(None, None)
+  val config: Config[String] = {
+    val t = Map.newBuilder[(String, String), Transition[String]]
+    t += ("body" -> "h1") -> Transition[String](Some(makeTitle), Some("content"))
+    t += ("content" -> "h2") -> Transition[String](Some(makeSection), Some("section"))
+    t += ("content" -> "paragraph") -> Transition[String](Some(makeParagraph), None)
+    t += ("content" -> "fence") -> Transition[String](Some(makeFence), None)
+    t += ("content" -> "listitem") -> Transition[String](Some(makeListItem), None)
+    t += ("section" -> "paragraph") -> Transition[String](Some(makeParagraph), None)
+    t += ("section" -> "fence") -> Transition[String](Some(makeFence), None)
+    t += ("section" -> "listitem") -> Transition[String](Some(makeListItem), None)
+    t += ("section" -> "h2") -> Transition[String](None, None)
     Config(
       recognizers = Vector(isH1, isH2, isFence, isListItem, isParagraph),
       transitions = t.result(),

@@ -56,34 +56,34 @@ object RfcParser {
       stripped.contains(". . . ")
   }
 
-  private def peek(p: FsmParser): String = p.reader.peek()
+  private def peek(p: FsmParser[String]): String = p.reader.peek()
 
   // ---- recognizers (declaration order = priority order, rfc.py:381-392) --
-  private val isPagebreak = Recognizer("pagebreak", p => peek(p).contains('\f'))
+  private val isPagebreak = Recognizer[String]("pagebreak", p => peek(p).contains('\f'))
   private val isRfcHeader =
-    Recognizer("rfcheader", p => isRfcHeaderChunk(peek(p), lenient = true))
-  private val isDocTitle = Recognizer("doctitle", _ => true)
-  private val isSection = Recognizer("section", p => sectionDepth(peek(p)) == 1)
+    Recognizer[String]("rfcheader", p => isRfcHeaderChunk(peek(p), lenient = true))
+  private val isDocTitle = Recognizer[String]("doctitle", _ => true)
+  private val isSection = Recognizer[String]("section", p => sectionDepth(peek(p)) == 1)
   private val isSubsection =
-    Recognizer("subsection", p => sectionDepth(peek(p)) == 2)
+    Recognizer[String]("subsection", p => sectionDepth(peek(p)) == 2)
   private val isSubsubsection =
-    Recognizer("subsubsection", p => sectionDepth(peek(p)) == 3)
-  private val isHeader = Recognizer("header", { p =>
+    Recognizer[String]("subsubsection", p => sectionDepth(peek(p)) == 3)
+  private val isHeader = Recognizer[String]("header", { p =>
     val chunk = peek(p)
     val s = chunk.trim
     s.nonEmpty && !s.contains("\n") && !s.endsWith(".") && !chunk.startsWith(" ")
   })
   private val isUlListitem =
-    Recognizer("ul_listitem", p => peek(p).trim.startsWith("o  "))
+    Recognizer[String]("ul_listitem", p => peek(p).trim.startsWith("o  "))
   private val isPreformatted =
-    Recognizer("preformatted", p => isPreformattedChunk(peek(p)))
-  private val isParagraph = Recognizer("paragraph", _ => true)
+    Recognizer[String]("preformatted", p => isPreformattedChunk(peek(p)))
+  private val isParagraph = Recognizer[String]("paragraph", _ => true)
 
   // ---- constructors -----------------------------------------------------
-  private def makeBody = Constructor("make_body", pushesState = true,
+  private def makeBody = Constructor[String]("make_body", pushesState = true,
     p => Some(p.makeChildren(TreeNode("Body"))))
 
-  private def makeRfcHeader = Constructor("make_rfcheader", pushesState = false, { p =>
+  private def makeRfcHeader = Constructor[String]("make_rfcheader", pushesState = false, { p =>
     var chunk = p.reader.next()
     // re-join a header split by a spurious blank line (rfc.py:337-339):
     // strict (non-lenient) column check against the next chunk
@@ -92,21 +92,21 @@ object RfcParser {
     Some(TreeNode("RFCHeader", text = Some(chunk)))
   })
 
-  private def makeDocTitle = Constructor("make_doctitle", pushesState = false,
+  private def makeDocTitle = Constructor[String]("make_doctitle", pushesState = false,
     p => Some(TreeNode("DocTitle", text = Some(p.reader.next()))))
 
-  private def makePreambleSection = Constructor("make_preamble_section",
+  private def makePreambleSection = Constructor[String]("make_preamble_section",
     pushesState = true, { p =>
       val title = p.reader.next()
       Some(p.makeChildren(TreeNode("PreambleSection",
         attrs = Vector("title" -> title))))
     })
 
-  private def makeAbstract = Constructor("make_abstract", pushesState = true,
+  private def makeAbstract = Constructor[String]("make_abstract", pushesState = true,
     p => Some(p.makeChildren(TreeNode("PreambleSection",
       attrs = Vector("title" -> "(Abstract)")))))
 
-  private def skipPagebreak = Constructor("skip_pagebreak", pushesState = false, { p =>
+  private def skipPagebreak = Constructor[String]("skip_pagebreak", pushesState = false, { p =>
     val chunk = p.reader.next()
     val lastline = chunk.split("\n", -1).last
     val parts = lastline.split("  +", -1)
@@ -115,15 +115,15 @@ object RfcParser {
     else None
   })
 
-  private def makeParagraph = Constructor("make_paragraph", pushesState = false,
+  private def makeParagraph = Constructor[String]("make_paragraph", pushesState = false,
     p => Some(TreeNode("Paragraph")
       .appendText(p.reader.next().split("\\s+").filter(_.nonEmpty).mkString(" "))))
 
-  private def makePreformatted = Constructor("make_preformatted", pushesState = false,
+  private def makePreformatted = Constructor[String]("make_preformatted", pushesState = false,
     p => Some(TreeNode("Preformatted").appendText(p.reader.next())))
 
   private def makeSectionAt(tag: String, basefile: String) =
-    Constructor(s"make_${tag.toLowerCase}", pushesState = true, { p =>
+    Constructor[String](s"make_${tag.toLowerCase}", pushesState = true, { p =>
       val chunk = p.reader.next()
       val (ordinal, title) = analyzeSectionStart(chunk)
         .getOrElse(throw new IllegalStateException(s"not a section: $chunk"))
@@ -133,14 +133,14 @@ object RfcParser {
         "identifier" -> s"RFC $basefile, section $ordinal"))))
     })
 
-  private def makeListItem = Constructor("make_listitem", pushesState = true, { p =>
+  private def makeListItem = Constructor[String]("make_listitem", pushesState = true, { p =>
     val chunk = p.reader.next()
     // analyze_listitem (rfc.py:370-379): "   o  " prefix → disc item
     val rest = if (chunk.startsWith("   o  ")) chunk.substring(6) else chunk
     Some(p.makeChildren(TreeNode("ListItem").appendText(rest)))
   })
 
-  private def makeUnorderedList = Constructor("make_unordered_list",
+  private def makeUnorderedList = Constructor[String]("make_unordered_list",
     pushesState = true, { p =>
       var ol = TreeNode("UnorderedList", attrs = Vector("type" -> "disc"))
       // first item is built eagerly in its own frame (rfc.py:322-327)
@@ -153,39 +153,39 @@ object RfcParser {
       Some(p.makeChildren(ol))
     })
 
-  def config(basefile: String = "0"): Config = {
+  def config(basefile: String = "0"): Config[String] = {
     val makeSection = makeSectionAt("Section", basefile)
     val makeSubsection = makeSectionAt("Subsection", basefile)
     val makeSubsubsection = makeSectionAt("Subsubsection", basefile)
     val common = Seq("section", "subsection", "subsubsection")
 
-    val t = Map.newBuilder[(String, String), Transition]
-    t += ("body" -> "rfcheader") -> Transition(Some(makeRfcHeader), Some("doctitle"))
-    t += ("doctitle" -> "doctitle") -> Transition(Some(makeDocTitle), Some("preamble"))
-    t += ("preamble" -> "header") -> Transition(Some(makePreambleSection), Some("preamble-section"))
-    t += ("preamble" -> "paragraph") -> Transition(Some(makeAbstract), Some("preamble-section"))
-    t += ("preamble-section" -> "paragraph") -> Transition(Some(makeParagraph), None)
-    t += ("preamble-section" -> "header") -> Transition(None, None)
-    t += ("preamble-section" -> "pagebreak") -> Transition(Some(skipPagebreak), None)
-    t += ("preamble-section" -> "section") -> Transition(None, Some("after-preamble"))
-    t += ("after-preamble" -> "section") -> Transition(Some(makeSection), Some("section"))
-    t += ("section" -> "subsection") -> Transition(Some(makeSubsection), Some("subsection"))
-    t += ("section" -> "section") -> Transition(None, None)
-    t += ("subsection" -> "subsubsection") -> Transition(Some(makeSubsubsection), Some("subsubsection"))
-    t += ("subsection" -> "subsection") -> Transition(None, None)
-    t += ("subsection" -> "section") -> Transition(None, None)
-    t += ("subsubsection" -> "subsubsection") -> Transition(None, None)
-    t += ("subsubsection" -> "subsection") -> Transition(None, None)
-    t += ("subsubsection" -> "section") -> Transition(None, None)
+    val t = Map.newBuilder[(String, String), Transition[String]]
+    t += ("body" -> "rfcheader") -> Transition[String](Some(makeRfcHeader), Some("doctitle"))
+    t += ("doctitle" -> "doctitle") -> Transition[String](Some(makeDocTitle), Some("preamble"))
+    t += ("preamble" -> "header") -> Transition[String](Some(makePreambleSection), Some("preamble-section"))
+    t += ("preamble" -> "paragraph") -> Transition[String](Some(makeAbstract), Some("preamble-section"))
+    t += ("preamble-section" -> "paragraph") -> Transition[String](Some(makeParagraph), None)
+    t += ("preamble-section" -> "header") -> Transition[String](None, None)
+    t += ("preamble-section" -> "pagebreak") -> Transition[String](Some(skipPagebreak), None)
+    t += ("preamble-section" -> "section") -> Transition[String](None, Some("after-preamble"))
+    t += ("after-preamble" -> "section") -> Transition[String](Some(makeSection), Some("section"))
+    t += ("section" -> "subsection") -> Transition[String](Some(makeSubsection), Some("subsection"))
+    t += ("section" -> "section") -> Transition[String](None, None)
+    t += ("subsection" -> "subsubsection") -> Transition[String](Some(makeSubsubsection), Some("subsubsection"))
+    t += ("subsection" -> "subsection") -> Transition[String](None, None)
+    t += ("subsection" -> "section") -> Transition[String](None, None)
+    t += ("subsubsection" -> "subsubsection") -> Transition[String](None, None)
+    t += ("subsubsection" -> "subsection") -> Transition[String](None, None)
+    t += ("subsubsection" -> "section") -> Transition[String](None, None)
     for (s <- common) {
-      t += (s -> "ul_listitem") -> Transition(Some(makeUnorderedList), Some("ul-list"))
-      t += (s -> "preformatted") -> Transition(Some(makePreformatted), None)
-      t += (s -> "paragraph") -> Transition(Some(makeParagraph), None)
-      t += (s -> "pagebreak") -> Transition(Some(skipPagebreak), None)
+      t += (s -> "ul_listitem") -> Transition[String](Some(makeUnorderedList), Some("ul-list"))
+      t += (s -> "preformatted") -> Transition[String](Some(makePreformatted), None)
+      t += (s -> "paragraph") -> Transition[String](Some(makeParagraph), None)
+      t += (s -> "pagebreak") -> Transition[String](Some(skipPagebreak), None)
     }
-    t += ("ul-list" -> "ul_listitem") -> Transition(Some(makeListItem), Some("listitem"))
-    t += ("ul-list" -> "paragraph") -> Transition(None, None)
-    t += ("listitem" -> "paragraph") -> Transition(None, None)
+    t += ("ul-list" -> "ul_listitem") -> Transition[String](Some(makeListItem), Some("listitem"))
+    t += ("ul-list" -> "paragraph") -> Transition[String](None, None)
+    t += ("listitem" -> "paragraph") -> Transition[String](None, None)
 
     Config(
       recognizers = Vector(isPagebreak, isRfcHeader, isDocTitle, isSection,

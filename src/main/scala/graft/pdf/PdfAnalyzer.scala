@@ -21,12 +21,14 @@ import graft.functions.Selectors
   * pdfanalyze.py:114-235) identifies printed page numbers from the
   * first/last boxes of each page, handling roman-numeral front matter.
   */
-final class PdfAnalyzer(val pdf: PdfDoc,
+class PdfAnalyzer(val pdf: PdfDoc,
                         val twopage: Boolean = true,
                         val styleSignificanceThreshold: Double = 0.005,
                         var headerSignificanceThreshold: Double = 0.002,
                         val footerSignificanceThreshold: Double = 0.002,
-                        val paginationMinSize: Int = 6,
+                        /** var: offtryck's paginate raises it above the
+                          * footnoteref size (offtryck.py:571-576). */
+                        var paginationMinSize: Int = 6,
                         val scannedSource: Boolean = false) {
 
   type Counter = mutable.LinkedHashMap[Int, Long]

@@ -59,7 +59,7 @@ class FsmGoldenSpec extends AnyFunSuite {
 
   // ---- recognizers (testFSMParser.py:60-112) ------------------------------
   private def rec(name: String)(f: String => Boolean) =
-    Recognizer(name, p => f(p.reader.peek()))
+    Recognizer[String](name, p => f(p.reader.peek()))
   private val isLiDecimal = rec("is_li_decimal")(c =>
     Set("decimal", "decimal-leading-zero")(analyzeListitem(c)._1))
   private val isLiRoman = rec("is_li_roman")(c =>
@@ -78,10 +78,10 @@ class FsmGoldenSpec extends AnyFunSuite {
   private val isParagraph = rec("is_paragraph")(_.length > 6)
 
   // ---- constructors (testFSMParser.py:134-200) ----------------------------
-  private val makeBody = Constructor("make_body", pushesState = true,
+  private val makeBody = Constructor[String]("make_body", pushesState = true,
     p => Some(p.makeChildren(TreeNode("Body"))))
   private def makeSectionLike(tag: String) =
-    Constructor(s"make_$tag", pushesState = true, { p =>
+    Constructor[String](s"make_$tag", pushesState = true, { p =>
       val (ord, title) = analyzeSectionstart(p.reader.next()).get
       Some(p.makeChildren(TreeNode(tag,
         Vector("ordinal" -> ord, "title" -> title))))
@@ -89,14 +89,14 @@ class FsmGoldenSpec extends AnyFunSuite {
   private val makeSection = makeSectionLike("Section")
   private val makeSubsection = makeSectionLike("Subsection")
   private val makeSubsubsection = makeSectionLike("Subsubsection")
-  private val makeParagraph = Constructor("make_paragraph", pushesState = false,
+  private val makeParagraph = Constructor[String]("make_paragraph", pushesState = false,
     p => Some(TreeNode("Paragraph").appendText(p.reader.next().trim)))
   private def makeState(id: String) =
-    Constructor(s"make_$id", pushesState = false, p =>
+    Constructor[String](s"make_$id", pushesState = false, p =>
       Some(TreeNode("Paragraph", Vector("id" -> id))
         .appendText(p.reader.next().trim)))
-  private val makeListitem: Constructor =
-    Constructor("make_listitem", pushesState = true, { p =>
+  private val makeListitem: Constructor[String] =
+    Constructor[String]("make_listitem", pushesState = true, { p =>
       val chunk = p.reader.next()
       val (_, ordinal, rest) = analyzeListitem(chunk)
       val li = TreeNode("ListItem",
@@ -105,7 +105,7 @@ class FsmGoldenSpec extends AnyFunSuite {
       Some(p.makeChildren(li))
     })
   private def makeOrderedList(fallbackType: String) =
-    Constructor(s"make_ol_$fallbackType", pushesState = true, { p =>
+    Constructor[String](s"make_ol_$fallbackType", pushesState = true, { p =>
       val listtype = analyzeListitem(p.reader.peek())._1
       val ol = TreeNode("OrderedList", Vector("type" -> listtype))
       val withFirst = p.makeChildrenFrame(makeListitem, "listitem")
@@ -119,15 +119,15 @@ class FsmGoldenSpec extends AnyFunSuite {
   /** sublist_or_parent (testFSMParser.py:116-131), including the
     * reference's decimal→roman branch (sic — never reached by fixtures,
     * reproduced faithfully). */
-  private def sublistOrParent(symbol: String)(p: FsmParser): Transition = {
+  private def sublistOrParent(symbol: String)(p: FsmParser[String]): Transition[String] = {
     val stack = p.states
     if (symbol == "is_li_alpha" && !stack.contains("ol-alpha"))
-      Transition(Some(makeOlAlpha), Some("ol-alpha"))
+      Transition[String](Some(makeOlAlpha), Some("ol-alpha"))
     else if (symbol == "is_li_roman" && !stack.contains("ol-roman"))
-      Transition(Some(makeOlRoman), Some("ol-roman"))
+      Transition[String](Some(makeOlRoman), Some("ol-roman"))
     else if (symbol == "is_li_decimal" && !stack.contains("ol-decimal"))
-      Transition(Some(makeOlRoman), Some("ol-roman")) // sic, :127-129
-    else Transition(None, None)
+      Transition[String](Some(makeOlRoman), Some("ol-roman")) // sic, :127-129
+    else Transition[String](None, None)
   }
 
   private val config = Config(
@@ -135,30 +135,30 @@ class FsmGoldenSpec extends AnyFunSuite {
       isSection, isSubsection, isSubsubsection, isPreformatted,
       isStateA, isStateB, isStateC, isParagraph),
     transitions = Map(
-      ("body", "is_paragraph") -> Transition(Some(makeParagraph), None),
-      ("body", "is_section") -> Transition(Some(makeSection), Some("section")),
-      ("body", "is_state_a") -> Transition(Some(makeState("state-a")), Some("state-a")),
-      ("state-a", "is_state_b") -> Transition(Some(makeState("state-b")), Some("state-b")),
-      ("state-b", "is_state_c") -> Transition(Some(makeState("state-c")), Some("state-c")),
-      ("state-c", "is_section") -> Transition(None, None),
-      ("section", "is_paragraph") -> Transition(Some(makeParagraph), None),
-      ("section", "is_subsection") -> Transition(Some(makeSubsection), Some("subsection")),
-      ("subsection", "is_paragraph") -> Transition(Some(makeParagraph), None),
-      ("subsection", "is_subsection") -> Transition(None, None),
-      ("subsection", "is_state_a") -> Transition(None, Some("body")),
-      ("subsection", "is_subsubsection") -> Transition(Some(makeSubsubsection), Some("subsubsection")),
-      ("subsubsection", "is_paragraph") -> Transition(Some(makeParagraph), None),
-      ("subsubsection", "is_section") -> Transition(None, None),
-      ("subsection", "is_section") -> Transition(None, None),
-      ("section", "is_section") -> Transition(None, None),
-      ("body", "is_li_decimal") -> Transition(Some(makeOlDecimal), Some("ol-decimal")),
-      ("ol-decimal", "is_li_decimal") -> Transition(Some(makeListitem), Some("listitem")),
-      ("ol-decimal", "is_li_alpha") -> Transition(Some(makeOlAlpha), Some("ol-alpha")),
-      ("ol-alpha", "is_li_alpha") -> Transition(Some(makeListitem), Some("listitem")),
-      ("ol-alpha", "is_li_roman") -> Transition(Some(makeOlRoman), Some("ol-roman")),
-      ("ol-roman", "is_li_roman") -> Transition(Some(makeListitem), Some("listitem")),
-      ("ol-roman", "is_li_alpha") -> Transition(None, None),
-      ("ol-alpha", "is_li_decimal") -> Transition(None, None)),
+      ("body", "is_paragraph") -> Transition[String](Some(makeParagraph), None),
+      ("body", "is_section") -> Transition[String](Some(makeSection), Some("section")),
+      ("body", "is_state_a") -> Transition[String](Some(makeState("state-a")), Some("state-a")),
+      ("state-a", "is_state_b") -> Transition[String](Some(makeState("state-b")), Some("state-b")),
+      ("state-b", "is_state_c") -> Transition[String](Some(makeState("state-c")), Some("state-c")),
+      ("state-c", "is_section") -> Transition[String](None, None),
+      ("section", "is_paragraph") -> Transition[String](Some(makeParagraph), None),
+      ("section", "is_subsection") -> Transition[String](Some(makeSubsection), Some("subsection")),
+      ("subsection", "is_paragraph") -> Transition[String](Some(makeParagraph), None),
+      ("subsection", "is_subsection") -> Transition[String](None, None),
+      ("subsection", "is_state_a") -> Transition[String](None, Some("body")),
+      ("subsection", "is_subsubsection") -> Transition[String](Some(makeSubsubsection), Some("subsubsection")),
+      ("subsubsection", "is_paragraph") -> Transition[String](Some(makeParagraph), None),
+      ("subsubsection", "is_section") -> Transition[String](None, None),
+      ("subsection", "is_section") -> Transition[String](None, None),
+      ("section", "is_section") -> Transition[String](None, None),
+      ("body", "is_li_decimal") -> Transition[String](Some(makeOlDecimal), Some("ol-decimal")),
+      ("ol-decimal", "is_li_decimal") -> Transition[String](Some(makeListitem), Some("listitem")),
+      ("ol-decimal", "is_li_alpha") -> Transition[String](Some(makeOlAlpha), Some("ol-alpha")),
+      ("ol-alpha", "is_li_alpha") -> Transition[String](Some(makeListitem), Some("listitem")),
+      ("ol-alpha", "is_li_roman") -> Transition[String](Some(makeOlRoman), Some("ol-roman")),
+      ("ol-roman", "is_li_roman") -> Transition[String](Some(makeListitem), Some("listitem")),
+      ("ol-roman", "is_li_alpha") -> Transition[String](None, None),
+      ("ol-alpha", "is_li_decimal") -> Transition[String](None, None)),
     initialState = "body",
     initialConstructor = makeBody,
     dynamicTransitions = Map(
