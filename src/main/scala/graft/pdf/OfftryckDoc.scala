@@ -262,63 +262,81 @@ object OfftryckDoc {
     * directly under a second/third Protokollsutdrag get NO fragment —
     * offtryck.py:720-743). The same skeleton is extracted from the
     * reference's parsed XHTML goldens for parity testing. */
-  def skeleton(body: TreeNode): Vector[String] = {
-    val out = Vector.newBuilder[String]
+  /** One structural row: (kind, fragment-or-'-', title, depth). */
+  final case class StructRow(kind: String, frag: String, title: String,
+                             depth: Int)
+
+  def structure(body: TreeNode): Vector[StructRow] = {
+    val out = Vector.newBuilder[StructRow]
     var ps = 0; var us = 0; var pu = 0
     def walk(n: TreeNode, depth: Int, noUri: Boolean): Unit = {
-      val pad = "  " * depth
       def title = n.attr("title").getOrElse("")
       n.tag match {
         case "FrontmatterSection" =>
-          out += s"${pad}frontmatter"
+          out += StructRow("frontmatter", "-", "", depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "PropHuvudrubrik" =>
-          out += s"${pad}prophuvudrubrik '${n.text.getOrElse("")}'"
+          out += StructRow("prophuvudrubrik", "-", n.text.getOrElse(""),
+            depth)
         case "PropRubrik" =>
-          out += s"${pad}proprubrik '${n.text.getOrElse("")}'"
+          out += StructRow("proprubrik", "-", n.text.getOrElse(""), depth)
         case "PreambleSection" =>
           ps += 1
-          out += s"${pad}preamblesection #PS$ps '$title'"
+          out += StructRow("preamblesection", s"#PS$ps", title, depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "Avsnitt" =>
           val frag =
             if (noUri) "-"
             else "#S" + n.attr("ordinal").get.replace(".", "-")
-          out += s"${pad}section $frag '$title'"
+          out += StructRow("section", frag, title, depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "Forfattningsforslag" =>
           val frag = n.attr("ordinal")
             .map(o => "#FF" + o.replace(".", "-")).getOrElse("-")
-          out += s"${pad}section $frag '$title'"
+          out += StructRow("section", frag, title, depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "PseudoSection" =>
-          out += s"${pad}pseudosection '$title'"
+          out += StructRow("pseudosection", "-", title, depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "UnorderedSection" =>
           us += 1
-          out += s"${pad}unorderedsection #US$us '$title'"
+          out += StructRow("unorderedsection", s"#US$us", title, depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "Protokollsutdrag" =>
           pu += 1
-          out += s"${pad}protokollsutdrag #PU$pu '$title'"
+          out += StructRow("protokollsutdrag", s"#PU$pu", title, depth)
           // only the FIRST protokollsutdrag's sections get URIs
           n.children.foreach(walk(_, depth + 1, noUri = pu > 1))
         case "Appendix" =>
-          out += s"${pad}appendix #B${n.attr("ordinal").get} '$title'"
+          out += StructRow("appendix", s"#B${n.attr("ordinal").get}",
+            title, depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "VerbatimSection" =>
-          out += s"${pad}verbatim"
+          out += StructRow("verbatim", "-", "", depth)
           n.children.foreach(walk(_, depth + 1, noUri))
         case "Sidbrytning" =>
-          out += s"${pad}sid ${n.attr("ordinal").getOrElse("")}"
-        case _ => // textboxes, lists: not structural — but recurse, a
-          // pagebreak can never hide in them so this is a no-op guard
+          out += StructRow("sid", "-", n.attr("ordinal").getOrElse(""),
+            depth)
+        case _ => // textboxes, lists: not structural — and a pagebreak
+          // can never hide inside them, so no recursion needed
           ()
       }
     }
     body.children.foreach(walk(_, 0, noUri = false))
     out.result()
   }
+
+  def skeleton(body: TreeNode): Vector[String] =
+    structure(body).map { r =>
+      val pad = "  " * r.depth
+      r.kind match {
+        case "frontmatter" | "verbatim" => s"$pad${r.kind}"
+        case "sid" => s"${pad}sid ${r.title}"
+        case "prophuvudrubrik" | "proprubrik" | "pseudosection" =>
+          s"$pad${r.kind} '${r.title}'"
+        case k => s"$pad$k ${r.frag} '${r.title}'"
+      }
+    }
 
   /** postprocess_doc for propositions (offtryck.py:648-660): the first
     * pagebreak moves inside the following FrontmatterSection. */

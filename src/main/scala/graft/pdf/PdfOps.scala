@@ -364,6 +364,7 @@ object PdfOps {
     "pdf_textboxes" -> textboxes,
     "pdf_analyze_metrics" -> analyzeMetrics,
     "pdf_offtryck_paragraphs" -> offtryckParagraphs,
+    "pdf_offtryck_structure" -> PropCorpus.offtryckStructure,
     "pdf_hocr_lines" -> hocrLines)
 
   val baseTables: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,6 +380,7 @@ object PdfOps {
     * seam already has one or ends in a hyphen/dash; '-' + lowercase
     * dehyphenates). */
   val oracleSql: Map[String, String] = Map(
+    "pdf_offtryck_structure" -> PropCorpus.oracleSql,
     // The analyzer re-derived relationally (pdfanalyze.py semantics):
     // insertion-order tie-breaks become min(global box order);
     // most_common ranking = (count DESC, first-seen ASC); the
