@@ -172,7 +172,12 @@ object Cc {
     val co = broadcast(canon.select(col("uri").as("_ou"), col("canon").as("_oc")))
     triples
       .join(cs, triples("subj") === col("_su"), "left")
-      .join(co, triples("obj") === col("_ou") && !triples("objIsLiteral"), "left")
+      // an owl:sameAs OBJECT is the alias identity itself — folding it
+      // into the representative would degenerate the statement to
+      // (uri sameAs uri); the published graph keeps the equivalent URI
+      // (the reference's distilled graphs keep owl:sameAs → rinfo)
+      .join(co, triples("obj") === col("_ou") && !triples("objIsLiteral") &&
+        triples("pred") =!= graft.model.Vocab.OWL_SAMEAS, "left")
       .withColumn("subj", coalesce(col("_sc"), col("subj")))
       .withColumn("obj", coalesce(col("_oc"), col("obj")))
       .drop("_su", "_sc", "_ou", "_oc")

@@ -816,6 +816,8 @@ object Corpus {
     truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
       lang = Some("sv"))
     truth += Triple.lit(uri, Vocab.dcterms("identifier"), ownId, graph)
+    truth += Triple.uri(uri, Vocab.OWL_SAMEAS,
+      graft.parse.LawDoc.rinfoUri(ownId), graph)
 
     // Content blocks: (section text, citation targets). Each block becomes
     // ONE numbered section of the assembled statute below, so the ground

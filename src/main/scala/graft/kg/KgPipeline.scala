@@ -62,14 +62,16 @@ object KgPipeline {
     docTruth.union(spark.createDataset(aliasTruth))
   }
 
-  /** Component representative: prefer URIs matching `canonicalPattern`
-    * (the minted form), else lexicographic min — ferenda's minted URI is
-    * the identity; aliases fold into it, not the other way around. Output
-    * only rows that actually change (uri != canon) to keep the rewrite
-    * broadcast small. */
-  def canonMap(cc: DataFrame, canonicalPattern: String = "/rfc/"): DataFrame = {
+  /** Component representative: prefer the MINTED forms — canonical /rfc/
+    * URIs and this engine's own /sfs/ space (a law's rinfo owl:sameAs
+    * equivalent must fold INTO the minted act URI, not absorb it) — else
+    * lexicographic min. Output only rows that actually change
+    * (uri != canon) to keep the rewrite broadcast small. */
+  def canonMap(cc: DataFrame): DataFrame = {
     val ranked = cc.withColumn("rk",
-      when(col("uri").contains(canonicalPattern), lit(0)).otherwise(lit(1)))
+      when(col("uri").contains("/rfc/") ||
+        col("uri").startsWith(s"${EntityDict.base}/sfs/"), lit(0))
+        .otherwise(lit(1)))
     ranked.groupBy(col("canon").as("comp"))
       .agg(min(struct(col("rk"), col("uri"))).as("rep"))
       .select(col("comp"), col("rep.uri").as("repUri"))
@@ -178,7 +180,12 @@ object KgPipeline {
       () => timed("l2_deps")(write(KgStages.depsDf(linked), "deps")),
       () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")),
       () => timed("c1_cc") {
-        val cc = Cc.connectedComponents(sameAs)
+        // curated edges + the parse-minted owl:sameAs equivalents
+        val allEdges = sameAs.toDF("src", "dst").unionByName(
+          docTriples0.filter(col("pred") === Vocab.OWL_SAMEAS &&
+              !col("objIsLiteral"))
+            .select(col("subj").as("src"), col("obj").as("dst")))
+        val cc = Cc.connectedComponents(allEdges)
         write(canonMap(cc), "canon")
       },
       () => { parsedRows = timed("p6_counts")(docs.count()) },

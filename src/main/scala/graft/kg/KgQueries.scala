@@ -59,7 +59,14 @@ object KgQueries {
       val linkTriples = KgStages.linkTriplesDf(linked)
       val docTriples = KgStages.fuzzyUpgrade(docTriples0,
         EntityDict.publishers, Seq(Vocab.dcterms("publisher")))
-      val sameAs = KgPipeline.sameAsEdges(s, N).persist()
+      // curated alias edges UNION the parse-minted owl:sameAs statements
+      // (the law family's lagen.nu↔rinfo equivalents) — the CC runs over
+      // realistic legal aliases, not only the curated table
+      val sameAs = KgPipeline.sameAsEdges(s, N)
+        .unionByName(docTriples0
+          .filter(col("pred") === Vocab.OWL_SAMEAS && !col("objIsLiteral"))
+          .select(col("subj").as("src"), col("obj").as("dst")))
+        .persist()
       val curated = KgPipeline.curatedTriples(s, N)
       val canon = KgPipeline.canonMap(Cc.connectedComponents(sameAs)).persist()
       val triples = KgStages.materialize(docTriples, linkTriples, curated, canon)
@@ -1224,7 +1231,9 @@ object KgQueries {
          comp AS (SELECT node, min(other) AS comp FROM mem GROUP BY 1),
          rep AS (SELECT comp,
                    (array_agg(node ORDER BY
-                      CASE WHEN node LIKE '%/rfc/%' THEN 0 ELSE 1 END,
+                      CASE WHEN node LIKE '%/rfc/%'
+                        OR node LIKE 'https://example.org/sfs/%'
+                        THEN 0 ELSE 1 END,
                       node))[1] AS repUri
                  FROM comp GROUP BY comp),
          canon AS (SELECT c.node AS uri, r.repUri AS canon
@@ -1243,13 +1252,15 @@ object KgQueries {
                   graph, NULL AS repo, NULL AS lang
            FROM read_parquet('__BASE__/kg_curated/*.parquet')),
          rw AS (SELECT coalesce(cs.canon, r.subj) AS subj, r.pred,
-                  CASE WHEN NOT r.objIsLiteral
+                  CASE WHEN NOT r.objIsLiteral AND r.pred <>
+                         'http://www.w3.org/2002/07/owl#sameAs'
                        THEN coalesce(co.canon, r.obj) ELSE r.obj END AS obj,
                   r.objIsLiteral, r.objDatatype, r.objLang, r.graph,
                   r.repo, r.lang
                 FROM raw r
                 LEFT JOIN canon cs ON r.subj = cs.uri
-                LEFT JOIN canon co ON r.obj = co.uri AND NOT r.objIsLiteral)
+                LEFT JOIN canon co ON r.obj = co.uri AND NOT r.objIsLiteral
+                  AND r.pred <> 'http://www.w3.org/2002/07/owl#sameAs')
          SELECT DISTINCT subj, pred, obj, objIsLiteral, objDatatype, objLang,
                 graph, repo, lang
          FROM rw""",
@@ -1367,7 +1378,9 @@ object KgQueries {
          comp AS (SELECT node, min(other) AS comp FROM mem GROUP BY 1),
          rep AS (SELECT comp,
                    (array_agg(node ORDER BY
-                      CASE WHEN node LIKE '%/rfc/%' THEN 0 ELSE 1 END,
+                      CASE WHEN node LIKE '%/rfc/%'
+                        OR node LIKE 'https://example.org/sfs/%'
+                        THEN 0 ELSE 1 END,
                       node))[1] AS repUri
                  FROM comp GROUP BY comp)
          SELECT c.node AS uri, r.repUri AS canon

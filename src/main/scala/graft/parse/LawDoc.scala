@@ -49,6 +49,12 @@ object LawDoc {
 
   def mintUri(id: String): String = base + id
 
+  /** The official-space equivalent of a minted act URI (the rinfo COIN
+    * space base + slug the reference's sameas minter produces for
+    * rpubl:KonsolideradGrundforfattning/SFS acts). */
+  def rinfoUri(id: String): String =
+    s"http://rinfo.lagrummet.se/publ/sfs/$id"
+
   def parse(src: SourceFile): RfcDoc.Parsed = parse(src, corpusDictionary)
 
   def parse(src: SourceFile, dict: Map[String, String]): RfcDoc.Parsed = {
@@ -82,6 +88,13 @@ object LawDoc {
     triples += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
       lang = Some("sv"))
     triples += Triple.lit(uri, Vocab.dcterms("identifier"), ownId, graph)
+    // equivalent-URI statement: the same act re-minted under the official
+    // rinfo URI space (the lagen.nu SameAs mixin, lagen/nu/sameas.py:54-88
+    // re-coins the resource with the rinfo minter; for an SFS act the
+    // coined form is publ/sfs/<year>:<no>). These owl:sameAs edges feed
+    // canonicalization so the CC runs over realistic legal aliases.
+    triples += Triple.uri(uri, Vocab.OWL_SAMEAS, LawDoc.rinfoUri(ownId),
+      graph)
 
     val mentions = Vector.newBuilder[Mention]
     var off = 0

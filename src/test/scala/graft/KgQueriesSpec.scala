@@ -97,11 +97,23 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no law targets in annotations")
   }
 
-  test("canon map folds every alias to the minted /rfc/ URI") {
+  test("canon map folds every alias to a minted URI (/rfc/ or /sfs/), " +
+       "law components present") {
     val cm = KgQueries.canonMap(spark, "").collect()
     assert(cm.nonEmpty)
-    assert(cm.forall(_.getString(1).contains("/rfc/")))
+    assert(cm.forall(r => r.getString(1).contains("/rfc/") ||
+      r.getString(1).startsWith("https://example.org/sfs/")))
     assert(cm.forall(r => r.getString(0) != r.getString(1)))
+    // the law family contributes realistic legal aliases: every rinfo
+    // equivalent folds INTO the minted act URI, never the other way
+    val law = cm.filter(_.getString(0)
+      .startsWith("http://rinfo.lagrummet.se/publ/sfs/"))
+    assert(law.nonEmpty, "no law-family components in the canon map")
+    law.foreach { r =>
+      assert(r.getString(1) ==
+        r.getString(0).replace("http://rinfo.lagrummet.se/publ/sfs/",
+          "https://example.org/sfs/"))
+    }
   }
 
   test("news feeds: rank is dense from 1 and dates are non-increasing") {
