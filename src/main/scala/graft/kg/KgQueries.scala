@@ -1105,6 +1105,10 @@ object KgQueries {
     "kg_legaluri" -> legalUriRoundtrip,
     "kg_dv_structure" -> dvStructure,
     "kg_generated_pages" -> ((s, d) => generatedPages(s, d)),
+    "kg_rdfa_roundtrip" -> RoundTripOps.rdfaRoundtrip,
+    "kg_fuzzy_labels" -> RoundTripOps.fuzzyLabels,
+    "kg_patch_apply" -> RoundTripOps.patchApply,
+    "kg_docx_text" -> RoundTripOps.docxText,
   )
 
   /** Stage tables dumped by graft.Verify under the sibling `<outDir>.base`
@@ -1269,6 +1273,10 @@ object KgQueries {
     // the MyndFskr chain replayed from the planting formulas — see
     // FsCorpus.oracleSql
     "kg_fs_props" -> FsCorpus.oracleSql,
+    "kg_rdfa_roundtrip" -> RoundTripOps.rdfaRoundtripSql,
+    "kg_fuzzy_labels" -> RoundTripOps.fuzzyLabelsSql,
+    "kg_patch_apply" -> RoundTripOps.patchApplySql,
+    "kg_docx_text" -> RoundTripOps.docxTextSql,
     // csvinventory re-rendered byte-for-byte: same doc set as the pivot,
     // same qname collapse, same QUOTE_MINIMAL field escaping
     "kg_csv_inventory" ->
