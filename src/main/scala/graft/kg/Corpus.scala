@@ -506,6 +506,82 @@ object Corpus {
     GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
   }
 
+  // ------------------------------------------------------ w3c family
+  private val w3cTopics = Vector("Page Visibility", "XML Signatures",
+    "Web Storage", "Media Queries", "Service Workers", "Web Components",
+    "Pointer Events", "Timing Control")
+  private val w3cSectionTitles = Vector("Introduction", "Conformance",
+    "Terminology", "Processing Model", "Security Considerations",
+    "Privacy Considerations", "The Interface", "Examples")
+
+  /** W3C Recommendation document i — a W3Standards-shaped HTML page:
+    * filtered div.head (carrying the "W3C Recommendation <date>" header
+    * the metadata step must still see), a filtered div.toc, the fixed
+    * preamble headings, and numbered h2/h3 sections. Pure function of
+    * (seed, i). */
+  def w3cDoc(seed: Long, i: Long): GenDoc = {
+    val r = new Rng(seed ^ (i * 0x60bee2bee120fc15L) ^ 0x1d8e4e27c47d124fL)
+    val repo = "w3c"
+    val lang = "en"
+    val graph = s"${EntityDict.base}/dataset/$repo"
+    val stem = s"tr-$i"
+    val path = s"w3c/$stem.html"
+    val uri = s"${EntityDict.base}/res/w3c/$stem"
+    val onto = "http://example.org/ontology/w3c/"
+    val title = s"${r.pick(w3cTopics)} Level ${1 + r.nextInt(3)}"
+    val day = 1 + r.nextInt(28)
+    val monthName = Vector("January", "February", "March", "April", "May",
+      "June", "July", "August", "September", "October", "November",
+      "December")((i % 12).toInt)
+    val year = 2010 + r.nextInt(10)
+
+    val truth = Vector.newBuilder[Triple]
+    truth += Triple.uri(uri, Vocab.RDF_TYPE, onto + "Recommendation", graph)
+    truth += Triple.lit(uri, Vocab.dcterms("title"), title, graph,
+      lang = Some(lang))
+    truth += Triple.lit(uri, Vocab.dcterms("identifier"), stem, graph)
+    truth += Triple(uri, Vocab.dcterms("issued"),
+      f"$year-${(i % 12) + 1}%02d-$day%02d", objIsLiteral = true,
+      Some(Vocab.xsd("date")), None, graph)
+    truth += Triple.uri(uri, Vocab.dcterms("publisher"),
+      s"${EntityDict.base}/ext/w3c", graph)
+
+    val b = new StringBuilder
+    b.append(s"<html>\n<head><title>$title</title></head>\n<body>\n")
+    b.append(s"""<div class="head"><h2>W3C Recommendation """)
+    b.append(s"$day $monthName $year</h2></div>\n")
+    b.append(s"<h2>Abstract</h2>\n<p>${sentence(r)}</p>\n")
+    truth += Triple.uri(s"$uri#PS1", Vocab.RDF_TYPE,
+      Vocab.bibo("DocumentPart"), graph)
+    truth += Triple.lit(s"$uri#PS1", Vocab.dcterms("title"), "Abstract",
+      graph, lang = Some(lang))
+    b.append("""<div class="toc"><p>1 Introduction.....2</p></div>""")
+    b.append("\n")
+    val nSections = 2 + r.nextInt(3)
+    for (k <- 1 to nSections) {
+      val st = w3cSectionTitles((i + k).toInt % w3cSectionTitles.length)
+      b.append(s"<h2>$k $st</h2>\n<p>${sentence(r)}</p>\n")
+      truth += Triple.uri(s"$uri#S$k", Vocab.RDF_TYPE,
+        Vocab.bibo("DocumentPart"), graph)
+      truth += Triple.lit(s"$uri#S$k", Vocab.dcterms("title"), st, graph,
+        lang = Some(lang))
+      truth += Triple.lit(s"$uri#S$k", Vocab.bibo("chapter"),
+        k.toString, graph)
+      if ((i + k) % 2 == 0) {
+        b.append(s"<h3>$k.1 Details</h3>\n<p>${sentence(r)}</p>\n")
+        truth += Triple.uri(s"$uri#S$k.1", Vocab.RDF_TYPE,
+          Vocab.bibo("DocumentPart"), graph)
+        truth += Triple.lit(s"$uri#S$k.1", Vocab.dcterms("title"),
+          "Details", graph, lang = Some(lang))
+        truth += Triple.lit(s"$uri#S$k.1", Vocab.bibo("chapter"),
+          s"$k.1", graph)
+      }
+    }
+    b.append("</body>\n</html>\n")
+    val commit = f"w${(seed ^ (i * 17)) & 0xffffffffL}%08x"
+    GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
+  }
+
   // ------------------------------------------------- markdown family
   /** Markdown README document i of a mixed corpus whose RFC half has n
     * docs (citations target that RFC space, exercising cross-family

@@ -244,7 +244,9 @@ object KgPipeline {
       .map(i => Corpus.lawDoc(seed, i, n / 4).src)
     val dv = spark.range(0, n / 8, 1, par)
       .map(i => Corpus.dvDoc(seed, i, n / 8, n / 4).src)
-    rfc.union(md).union(html).union(law).union(dv)
+    val w3c = spark.range(0, n / 8, 1, par)
+      .map(i => Corpus.w3cDoc(seed, i).src)
+    rfc.union(md).union(html).union(law).union(dv).union(w3c)
   }
 
   /** Swedish-law corpus (the LawRef family), executor-generated like the

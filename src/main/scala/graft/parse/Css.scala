@@ -18,25 +18,33 @@ object Css {
 
   final case class Simple(
       tag: Option[String],
-      attrs: Seq[(String, String)]) {
+      attrs: Seq[(String, String)],
+      /** `.cls` tests: token membership in the class attribute (the
+        * CSS/BeautifulSoup semantics — class="div1 toc" matches .toc). */
+      classes: Seq[String] = Nil) {
     def matches(n: TreeNode): Boolean =
       tag.forall(_ == n.tag) &&
-        attrs.forall { case (k, v) => n.attr(k).contains(v) }
+        attrs.forall { case (k, v) => n.attr(k).contains(v) } &&
+        classes.forall(c => n.attr("class").exists(
+          _.split("\\s+").contains(c)))
   }
 
   private val SimpleRe =
-    """^([A-Za-z][\w-]*)?(#[\w.-]+)?((?:\[[\w-]+=[^\]]*\])*)$""".r
+    """^([A-Za-z][\w-]*)?(#[\w.-]+)?((?:\.[\w-]+)*)((?:\[[\w-]+=[^\]]*\])*)$""".r
   private val AttrRe = """\[([\w-]+)=([^\]]*)\]""".r
 
-  /** Parse "nav", "div#main", "Section[title=IANA Considerations] p" …
-    * into a descendant chain. Throws on syntax it doesn't support. */
+  /** Parse "nav", "div#main", "div.toc",
+    * "Section[title=IANA Considerations] p" … into a descendant chain.
+    * Throws on syntax it doesn't support. */
   def parse(selector: String): Seq[Simple] =
     selector.trim.split("\\s+").toSeq.map {
-      case SimpleRe(tag, id, attrs) =>
+      case SimpleRe(tag, id, cls, attrs) =>
         val idAttr = Option(id).map(i => "id" -> i.substring(1)).toSeq
+        val classes = Option(cls).filter(_.nonEmpty).toSeq
+          .flatMap(_.split("\\.").filter(_.nonEmpty))
         val kvs = Option(attrs).filter(_.nonEmpty).toSeq.flatMap(a =>
           AttrRe.findAllMatchIn(a).map(m => m.group(1) -> m.group(2)))
-        Simple(Option(tag), idAttr ++ kvs)
+        Simple(Option(tag), idAttr ++ kvs, classes)
       case bad => throw new IllegalArgumentException(s"unsupported selector: $bad")
     }
 

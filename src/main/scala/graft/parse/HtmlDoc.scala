@@ -24,8 +24,14 @@ object HtmlDoc {
   val contentSelector = "body"
   val filterSelectors = Seq("nav", "footer")
 
-  private val TagRe = """<(/?)([a-zA-Z][\w-]*)((?:\s+[\w-]+="[^"]*")*)\s*/?>""".r
+  private val TagRe = """<(/?)([a-zA-Z][\w-]*)((?:\s+[\w-]+="[^"]*")*)\s*(/?)>""".r
   private val AttrRe = """([\w-]+)="([^"]*)"""".r
+
+  /** HTML void elements — they never take children; an html parser
+    * (like the reference's BeautifulSoup) closes them implicitly.
+    * Without this a bare <br> swallows the rest of the document. */
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
 
   /** Tag-soup → TreeNode tree. Text runs become <str> children; unknown
     * tags still nest (stack parser is tag-agnostic). */
@@ -42,10 +48,17 @@ object HtmlDoc {
       pos = m.end
       val closing = m.group(1) == "/"
       val tag = m.group(2).toLowerCase
-      if (!closing) {
+      val selfClosing = m.group(4) == "/" || voidTags.contains(tag)
+      if (!closing && selfClosing) {
+        val attrs = AttrRe.findAllMatchIn(m.group(3))
+          .map(a => a.group(1) -> a.group(2)).toVector
+        stack = stack.head.appendChild(TreeNode(tag, attrs)) :: stack.tail
+      } else if (!closing) {
         val attrs = AttrRe.findAllMatchIn(m.group(3))
           .map(a => a.group(1) -> a.group(2)).toVector
         stack = TreeNode(tag, attrs) :: stack
+      } else if (voidTags.contains(tag)) {
+        // stray </br>-style closers of void elements: ignore
       } else {
         // pop until the matching open tag (tolerates unclosed inline tags)
         val idx = stack.indexWhere(_.tag == tag)
