@@ -26,8 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   // local mode = single JVM; the box has 125 GiB and the bench pipeline
   // persists ~1 GiB of stage data per run — 8g caused GC pressure at
   // higher thread counts
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+
+// POSIX locale on the runner makes the forked JVM map non-ASCII
+// filenames (the reference Swedish-named fixtures) to
+// InvalidPathException — sun.jnu.encoding only follows the OS locale
+Test / envVars += "LANG" -> "C.UTF-8"
+run / envVars += "LANG" -> "C.UTF-8"

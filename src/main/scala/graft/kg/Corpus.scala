@@ -582,6 +582,35 @@ object Corpus {
     GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
   }
 
+  // ----------------------------------------------------- wiki family
+  /** Keyword-description wiki pages: one mediawiki export page per RFC
+    * category keyword (the wiki repo describes the keyword hub — the
+    * reference's MediaWiki/Keyword pairing). Deterministic text; the
+    * description XMLLiteral is replayed verbatim by the
+    * kg_keyword_entities oracle. */
+  val wikiCategoryLabels: Vector[String] =
+    EntityDict.categories.keys.toVector.sorted
+
+  def wikiDoc(i: Long): GenDoc = {
+    val label = wikiCategoryLabels(i.toInt % wikiCategoryLabels.length)
+    val other = wikiCategoryLabels(((i + 1) % wikiCategoryLabels.length).toInt)
+    val uri = EntityDict.categories(label)
+    val graph = s"${EntityDict.base}/dataset/wiki"
+    val text = s"'''$label''' är en kategori för tekniska dokument. " +
+      s"Se även [[$other]]."
+    val xml = s"<page><title>$label</title><revision>" +
+      s"<text>$text</text></revision></page>"
+    GenDoc(SourceFile("wiki", s"wiki/${EntityDict.slug(label)}.wiki.xml",
+      f"k${i}%08x", "sv", xml), Vector.empty)
+  }
+
+  /** The wiki family's parser conf: keyword URIs are the category
+    * entity URIs. */
+  val wikiConf: graft.parse.WikiDoc.Conf = graft.parse.WikiDoc.Conf(
+    uriFor = Some(title => EntityDict.categories.getOrElse(title,
+      graft.parse.WikiDoc.keywordUri(s"${EntityDict.base}/begrepp/",
+        title))))
+
   // ------------------------------------------------- markdown family
   /** Markdown README document i of a mixed corpus whose RFC half has n
     * docs (citations target that RFC space, exercising cross-family

@@ -246,7 +246,10 @@ object KgPipeline {
       .map(i => Corpus.dvDoc(seed, i, n / 8, n / 4).src)
     val w3c = spark.range(0, n / 8, 1, par)
       .map(i => Corpus.w3cDoc(seed, i).src)
-    rfc.union(md).union(html).union(law).union(dv).union(w3c)
+    val wiki = spark
+      .range(0, Corpus.wikiCategoryLabels.length.toLong, 1, par)
+      .map(i => Corpus.wikiDoc(i).src)
+    rfc.union(md).union(html).union(law).union(dv).union(w3c).union(wiki)
   }
 
   /** Swedish-law corpus (the LawRef family), executor-generated like the

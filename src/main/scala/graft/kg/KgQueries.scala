@@ -355,14 +355,22 @@ object KgQueries {
   }
 
   /** Keyword hub entities (sources/general/keyword.py:43-80): one entity
-    * per distinct dcterms:subject value across the dataset. */
-  def keywordEntities(spark: SparkSession, dir: String): DataFrame =
-    t(ctx(spark))
-      .filter(col("pred") === Vocab.dcterms("subject") && !col("objIsLiteral"))
+    * per distinct dcterms:subject value across the dataset, joined with
+    * the wiki family's dcterms:description (the MediaWiki repo's parsed
+    * XMLLiteral body — wiki.py:217-227). */
+  def keywordEntities(spark: SparkSession, dir: String): DataFrame = {
+    val tr = t(ctx(spark))
+    val descriptions = tr
+      .filter(col("pred") === Vocab.dcterms("description"))
+      .select(col("subj").as("uri"), col("obj").as("description"))
+    tr.filter(col("pred") === Vocab.dcterms("subject") &&
+        !col("objIsLiteral"))
       .select(col("obj").as("uri")).distinct()
       .withColumn("label",
         graft.functions.Selectors.uriLeaf(col("uri")))
+      .join(broadcast(descriptions), Seq("uri"), "left")
       .orderBy("uri")
+  }
 
   /** dump.nt export head (documentrepository.py:1813-1883): the triple
     * table rendered as N-Triples text lines; deterministic first 100. */
@@ -1449,10 +1457,15 @@ object KgQueries {
            count(*) AS n_docs
          FROM flags GROUP BY 1""",
     "kg_keyword_entities" ->
-      s"""SELECT DISTINCT obj AS uri,
-         regexp_extract(obj, '([^/#]+)[/#]?$$', 1) AS label
-         FROM read_parquet('__BASE__/kg_triples/*.parquet')
-         WHERE pred = '${dct("subject")}' AND NOT objIsLiteral""",
+      s"""WITH ents AS (SELECT DISTINCT obj AS uri,
+             regexp_extract(obj, '([^/#]+)[/#]?$$', 1) AS label
+           FROM read_parquet('__BASE__/kg_triples/*.parquet')
+           WHERE pred = '${dct("subject")}' AND NOT objIsLiteral),
+         descr AS (SELECT subj AS uri, obj AS description
+           FROM read_parquet('__BASE__/kg_triples/*.parquet')
+           WHERE pred = '${dct("description")}')
+         SELECT uri, label, description FROM ents LEFT JOIN descr
+         USING (uri)""",
     // the turtle dump re-assembled from the same shared SQL fragments
     // (curie/escape/object text is literally identical; only the regex
     // function name and the ordered-aggregation syntax differ per engine)

@@ -642,6 +642,28 @@ object LawRef {
     }
 
     // ------------------------------------------------------ root parses
+    /** AbbrevLawShortRef root ("TF 1:1 4 st.", "JB 22:2 st. 2" —
+      * kortlagrum.ebnf AbbrevLawShortRef: LawAbbreviation WS
+      * chapter:section with optional PieceRef; kortlagrumref is
+      * inserted as the FIRST root, legalref.py:128-138). One merged
+      * link. The GenericRef-leading form ("15 § AvtL") is handled as a
+      * tail in the refs-phrase scan. */
+    private val ShortCsRef =
+      re("(\\d+):(\\d+)( (\\d+) st\\.| st\\. (\\d+))?")
+    private def tryKortRoot(pos: Int): Option[(Int, Vector[Seg])] = {
+      if (!wordBoundary(pos)) return None
+      val ap = abbrevPattern.getOrElse(return None)
+      val am = at(ap, pos).getOrElse(return None)
+      val law = conf.abbrevs(am.group(1))
+      val wm = at(Ws, am.end).getOrElse(return None)
+      val cm = at(ShortCsRef, wm.end).getOrElse(return None)
+      val piece = Option(cm.group(4)).orElse(Option(cm.group(5)))
+      val uri = uriOf(Some(law), chapter = Some(cm.group(1)),
+        section = Some(cm.group(2)), piece = piece)
+      currentLaw = Some(law)
+      Some((cm.end, Vector(Seg(s.substring(pos, cm.end), uri))))
+    }
+
     /** ChangeRef: "Lag (1997:289)." (lagrum.ebnf ChangeRef — a literal
       * '.' after the SFSNr, or directly followed by non-space/comma). */
     private def tryChangeRef(pos: Int): Option[(Int, Vector[Seg])] = {
@@ -899,7 +921,8 @@ object LawRef {
           if (Character.isDigit(c)) tryRefsPhrase(p)
           else if (c == '(') trySfsNrRoot(p)
           else if (Character.isLetter(c))
-            tryChangeRef(p).orElse(tryNamedLawRoot(p))
+            tryKortRoot(p).orElse(tryChangeRef(p))
+              .orElse(tryNamedLawRoot(p))
               .orElse(tryPieceRoot(p))
           else None
         hit match {

@@ -159,6 +159,8 @@ object DocParsers {
 
   val registry: Vector[Entry] = Vector(
     Entry("md", _.path.endsWith(".md"), MdDoc.parse),
+    Entry("wiki", _.path.endsWith(".wiki.xml"),
+      p => WikiDoc.parse(p, graft.kg.Corpus.wikiConf)),
     Entry("w3c", p => p.path.startsWith("w3c/") && p.path.endsWith(".html"),
       p => W3cDoc.parse(p)),
     Entry("html", p => p.path.endsWith(".html") || p.path.endsWith(".htm"),
