@@ -582,6 +582,37 @@ object Corpus {
     GenDoc(SourceFile(repo, path, commit, lang, b.toString), truth.result())
   }
 
+  // --------------------------------------------------- eu acts family
+  /** The owned EU-act catalog: celex ids in the law family's citation
+    * space. A law doc's EU citation draws from this catalog part of the
+    * time, so EuActRef mentions resolve against owned entities (the
+    * eurlex.py metadata slice) and kg_deps gains eu-family edges. */
+  final val EuActN = 24
+
+  /** (celex, direktiv?, year, serial) of catalog act k. */
+  def euActOf(k: Int): (String, Boolean, Int, Int) = {
+    val direktiv = k % 2 == 0
+    val ey = 1980 + (k % 15) * 2 // within the law-citation year window
+    val en = if (direktiv) 10 + k else 200 + 7 * k
+    (f"3${ey}${if (direktiv) "L" else "R"}$en%04d", direktiv, ey, en)
+  }
+
+  def euActTitle(k: Int): String = {
+    val (_, direktiv, ey, en) = euActOf(k)
+    val yTxt = f"${ey % 100}%02d"
+    if (direktiv) s"Rådets direktiv $yTxt/$en/EEG om ämne ${k % 50}"
+    else s"Kommissionens förordning (EEG) nr $en/$yTxt om ämne ${k % 50}"
+  }
+
+  def euDoc(k: Long): GenDoc = {
+    val (celex, _, _, _) = euActOf(k.toInt)
+    val graph = s"${EntityDict.base}/dataset/eurlex"
+    val text = s"${euActTitle(k.toInt)}\n\nCELEX: $celex\n\n" +
+      s"Denna rättsakt innehåller bestämmelser om ämne ${k % 50}.\n"
+    GenDoc(SourceFile("eurlex", s"eu/$celex.eu", f"e$k%08x", "sv", text),
+      Vector.empty)
+  }
+
   // ----------------------------------------------------- wiki family
   /** Keyword-description wiki pages: one mediawiki export page per RFC
     * category keyword (the wiki repo describes the keyword hub — the
@@ -1028,14 +1059,23 @@ object Corpus {
     // variables, independent of the parser (pre-2015 years, so no
     // year/serial order flip to model)
     if (r.nextBool(0.6)) {
-      val ey = 1975 + r.nextInt(35) // 1975..2009
+      // part of the time the citation targets an OWNED catalog act (the
+      // eurlex family below) so the mention resolves in the link stage
+      val catalog: Option[(String, Boolean, Int, Int)] =
+        if (r.nextBool(0.4)) Some(euActOf(r.nextInt(EuActN))) else None
+      val ey = catalog.map(_._3).getOrElse(1975 + r.nextInt(35))
       // real EU citation style: two-digit act years before 2000 ("95/46"),
       // four-digit from 2000 ("2003/98") — matches the CELEX expansion
       // rule (two-digit years are 19xx, legalref.py:1338-1356)
       val yTxt = if (ey < 2000) f"${ey % 100}%02d" else ey.toString
-      r.nextInt(3) match {
+      val shape = catalog match {
+        case Some((_, true, _, _)) => 0
+        case Some((_, false, _, _)) => 2
+        case None => r.nextInt(3)
+      }
+      shape match {
         case 0 =>
-          val en = 1 + r.nextInt(150)
+          val en = catalog.map(_._4).getOrElse(1 + r.nextInt(150))
           block(s"Kraven genomför rådets direktiv $yTxt/$en/EEG " +
             s"om ${r.pick(svWords)}.",
             fixed(f"${EntityDict.base}/ext/celex/3${ey}L$en%04d"))
@@ -1046,7 +1086,7 @@ object Corpus {
             s"förordning (EG) nr $en/$yTxt.",
             fixed(f"${EntityDict.base}/ext/celex/3${ey}R$en%04d#$art"))
         case _ =>
-          val en = 100 + r.nextInt(1900)
+          val en = catalog.map(_._4).getOrElse(100 + r.nextInt(1900))
           block(s"Jfr förordning (EEG) nr $en/$yTxt i denna del.",
             fixed(f"${EntityDict.base}/ext/celex/3${ey}R$en%04d"))
       }

@@ -249,7 +249,10 @@ object KgPipeline {
     val wiki = spark
       .range(0, Corpus.wikiCategoryLabels.length.toLong, 1, par)
       .map(i => Corpus.wikiDoc(i).src)
-    rfc.union(md).union(html).union(law).union(dv).union(w3c).union(wiki)
+    val eu = spark.range(0, Corpus.EuActN.toLong, 1, par)
+      .map(i => Corpus.euDoc(i).src)
+    rfc.union(md).union(html).union(law).union(dv).union(w3c)
+      .union(wiki).union(eu)
   }
 
   /** Swedish-law corpus (the LawRef family), executor-generated like the

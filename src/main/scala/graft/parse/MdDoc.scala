@@ -161,6 +161,7 @@ object DocParsers {
     Entry("md", _.path.endsWith(".md"), MdDoc.parse),
     Entry("wiki", _.path.endsWith(".wiki.xml"),
       p => WikiDoc.parse(p, graft.kg.Corpus.wikiConf)),
+    Entry("eu", _.path.endsWith(".eu"), EuDoc.parse),
     Entry("w3c", p => p.path.startsWith("w3c/") && p.path.endsWith(".html"),
       p => W3cDoc.parse(p)),
     Entry("html", p => p.path.endsWith(".html") || p.path.endsWith(".htm"),

@@ -116,6 +116,18 @@ class KgQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("deps: EuActRef mentions resolve against owned eurlex acts") {
+    import org.apache.spark.sql.functions.col
+    val eu = KgQueries.deps(spark, "")
+      .filter(col("target").contains("/ext/celex/")).collect()
+    assert(eu.nonEmpty, "no eu-family edges in kg_deps")
+    // every resolved eu target is an owned catalog act
+    val catalog = (0 until graft.kg.Corpus.EuActN)
+      .map(k => graft.parse.EuDoc.mintUri(graft.kg.Corpus.euActOf(k)._1))
+      .toSet
+    eu.foreach(r => assert(catalog.contains(r.getString(0))))
+  }
+
   test("news feeds: rank is dense from 1 and dates are non-increasing") {
     val nf = KgQueries.newsFeeds(spark, "").collect()
     val byPub = nf.groupBy(_.getString(0))
