@@ -90,16 +90,34 @@ object OfftryckParser {
 
   /** Textbox → TreeNode("Textbox"), element runs kept as tagged
     * children so downstream passes (commentary detection) can see
-    * bold/italic runs the way the reference sees box[0].tag. */
-  def boxNode(b: Textbox): TreeNode =
+    * bold/italic runs the way the reference sees box[0].tag; font size,
+    * line count and line height ride along for the linespacing-based
+    * acttext/comment classification (pdfreader.py:1450-1456). */
+  def boxNode(b: Textbox, fontspec: Map[Int, FontSpec]): TreeNode =
     TreeNode("Textbox",
       attrs = Vector("top" -> b.top.toString, "left" -> b.left.toString,
         "width" -> b.width.toString, "height" -> b.height.toString,
-        "fontid" -> b.fontid.toString),
+        "fontid" -> b.fontid.toString,
+        "size" -> fontspec.get(b.fontid).map(_.size).getOrElse(0).toString,
+        "lines" -> b.lines.toString,
+        "lineheight" -> b.lineheight.toString),
       children = b.els.map(el => el.tag match {
         case Some(t) => TreeNode(t, text = Some(el.text))
         case None => TreeNode.str(el.text)
       }))
+
+  /** Textbox.linespacing (pdfreader.py:1450-1456): undefined (None)
+    * for single-line boxes. */
+  def linespacingOf(n: TreeNode): Option[Double] = {
+    val lines = n.attr("lines").flatMap(_.toIntOption).getOrElse(0)
+    if (lines <= 1) return None
+    val height = n.attr("height").flatMap(_.toIntOption).getOrElse(0)
+    val lineheight =
+      n.attr("lineheight").flatMap(_.toDoubleOption).getOrElse(0.0)
+    val size = n.attr("size").flatMap(_.toIntOption).getOrElse(0)
+    if (size == 0) None
+    else Some(((height - lineheight) / (lines - 1)) / size)
+  }
 }
 
 final class OfftryckParser(
@@ -480,7 +498,7 @@ final class OfftryckParser(
     })
 
   private val makeParagraph = Constructor[OTok]("make_paragraph",
-    pushesState = false, p => Some(boxNode(nextBox(p))))
+    pushesState = false, p => Some(boxNode(nextBox(p), fontspec)))
 
   private val makePreamblesection = Constructor[OTok](
     "make_preamblesection", pushesState = true, p => {
@@ -567,13 +585,13 @@ final class OfftryckParser(
             }
             if (!done) {
               chunk.collect { case BoxTok(b) if !nonessential(p, b) =>
-                spill += boxNode(b) }
+                spill += boxNode(b, fontspec) }
               chunk = Some(p.reader.next())
             }
           }
         } catch { case _: NoSuchElementException =>
           if (title.isEmpty) title = Some(""); done = true }
-        chunk.collect { case BoxTok(b) => spill += boxNode(b) }
+        chunk.collect { case BoxTok(b) => spill += boxNode(b, fontspec) }
       }
       val s = TreeNode("Appendix",
         Vector("title" -> title.getOrElse(""),

@@ -245,7 +245,7 @@ object OfftryckDoc {
               "ordinal" -> ord, "width" -> page.width.toString,
               "height" -> page.height.toString, "src" -> pngSrc)))
             page.boxes.foreach(b =>
-              s = s.appendChild(OfftryckParser.boxNode(b)))
+              s = s.appendChild(OfftryckParser.boxNode(b, pdf.fontspec)))
           }
         body = body.appendChild(s)
         pageno = lastSidbrytning(s).map(increment(_, 1)).getOrElse("1")
