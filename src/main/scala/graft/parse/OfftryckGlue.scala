@@ -26,12 +26,25 @@ import graft.parse.PdfReader.{FontSpec, Textbox}
   *  - the final vertical-proximity + left-alignment/hanging-indent
   *    clause, with the wide-gap short-box page-number exception.
   *
-  * One divergence, cited: the reference mutates textbox.lines/
-  * lineheight inside the predicate for later bookkeeping; graft's
-  * [[PdfReader.Textbox]] is immutable and `+` maintains those fields,
-  * and no DECISION in the predicate reads them, so the mutation is
-  * dropped. */
+  * The reference mutates textbox.lines/lineheight inside the predicate
+  * for the commentary pass's linespacing statistics; graft's
+  * [[PdfReader.Textbox]] is immutable, so [[verdict]] REPORTS which
+  * branch matched (none / heading-glue without a line switch / normal
+  * glue / parid glue) and the token-stream fold applies the same
+  * bookkeeping (offtryck.py:247-255, 321, 371-373). */
 object OfftryckGlue {
+
+  /** [[verdict]] outcomes. */
+  final val NoGlue = 0
+  /** Heading fragments on the SAME line — glue without counting a
+    * line switch (offtryck.py:321-323). */
+  final val GlueSameLine = 1
+  /** Normal vertical glue — count a line, running-average lineheight
+    * (offtryck.py:371-373). */
+  final val GlueNewLine = 2
+  /** tesseract-parid glue — counts a line with the reference's own
+    * uncorrected-precedence average (offtryck.py:253-255). */
+  final val GlueParid = 3
 
   private def reMatch(p: String, s: String): Boolean =
     Pattern.compile(p).matcher(s).lookingAt()
@@ -43,6 +56,13 @@ object OfftryckGlue {
     * the analyzer's scanned_source flag. */
   def gluefunc(fontspec: Map[Int, FontSpec], scannedSource: Boolean)
       : (Textbox, Textbox, Textbox) => Boolean = {
+    val v = verdict(fontspec, scannedSource)
+    (t, n, p) => v(t, n, p) != NoGlue
+  }
+
+  /** The same predicate reporting WHICH branch matched. */
+  def verdict(fontspec: Map[Int, FontSpec], scannedSource: Boolean)
+      : (Textbox, Textbox, Textbox) => Int = {
     def font(b: Textbox): FontSpec = fontspec(b.fontid)
 
     def normalizeFamily(f: String): String =
@@ -70,7 +90,8 @@ object OfftryckGlue {
       val linespacing = font(nextbox).size / 1.2
       val parindent = font(nextbox).size
       // tesseract's own paragraph segmentation wins outright
-      if (prevbox.parid.isDefined && prevbox.parid == nextbox.parid) true
+      if (prevbox.parid.isDefined && prevbox.parid == nextbox.parid)
+        GlueParid
       else {
         val strtextbox = textbox.text.trim
         val strprevbox = prevbox.text.trim
@@ -100,7 +121,7 @@ object OfftryckGlue {
         // a bullet (or dash) always signals the start of a new chunk
         if (strnextbox.startsWith("\u2022") ||
             strnextbox.startsWith("\uf0b7") ||
-            strnextbox.startsWith("\u2212")) false
+            strnextbox.startsWith("\u2212")) NoGlue
         else {
           val familymatch: (Textbox, Textbox) => Boolean =
             if (scannedSource) (p, n) => font(p).family == font(n).family
@@ -132,16 +153,16 @@ object OfftryckGlue {
             prevbox.top + prevbox.height / 2.0 < nextbox.bottom &&
             textbox.left - prevbox.right < prevbox.width * 3
 
-          if (headingGlue) true
+          if (headingGlue) GlueSameLine
           // a line that ONLY contains a section reference is a header
           else if ((SectionRef.matcher(strprevbox).matches() ||
                     SectionRef.matcher(strnextbox).matches()) &&
-                   prevbox.bottom <= nextbox.top) false
+                   prevbox.bottom <= nextbox.top) NoGlue
           // locutions that indicate a new paragraph
           else if (reMatch(
-            "Skälen för (min bedömning|mitt förslag): ", strnextbox)) false
-          else if (reMatch("\\d\\. +", strnextbox)) false // ordered list
-          else if (reMatch("[a-z]\\) +", strnextbox)) false // alpha list
+            "Skälen för (min bedömning|mitt förslag): ", strnextbox)) NoGlue
+          else if (reMatch("\\d\\. +", strnextbox)) NoGlue // ordered list
+          else if (reMatch("[a-z]\\) +", strnextbox)) NoGlue // alpha list
           else if (reMatch("\\d+ §", strnextbox) &&
                    // not really a continuation…
                    !strprevbox.lastOption.exists(c => c == '–' || c == '-') &&
@@ -149,11 +170,11 @@ object OfftryckGlue {
                      .exists(strprevbox.endsWith) &&
                    // …and a real line gap (30% of a line)
                    nextbox.top - prevbox.bottom >=
-                     font(prevbox).size * 0.3) false
+                     font(prevbox).size * 0.3) NoGlue
           // italic "dels": itemized list form in act preambles
           else if (nextbox.els.headOption.exists(e =>
                      e.tag.contains("i") &&
-                       e.text.startsWith("dels"))) false
+                       e.text.startsWith("dels"))) NoGlue
           // the final, primarily horizontal, glue clause
           else if (sizematch(textbox, nextbox) &&
                    familymatch(textbox, nextbox) &&
@@ -172,9 +193,11 @@ object OfftryckGlue {
                      (reMatch("[\\d\\.]+\\s+[A-ZÅÄÖ]", strtextbox) &&
                        nextbox.left - textbox.left < parindent * 5))) {
             // same line but a wide gap before a short box: page number
-            !(valignmatch(prevbox, nextbox) &&
-              nextbox.left - textbox.right > 50 && strnextbox.length < 10)
-          } else false
+            if (valignmatch(prevbox, nextbox) &&
+                nextbox.left - textbox.right > 50 && strnextbox.length < 10)
+              NoGlue
+            else GlueNewLine
+          } else NoGlue
         }
       }
     }

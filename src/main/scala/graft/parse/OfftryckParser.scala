@@ -533,7 +533,8 @@ final class OfftryckParser(
     TreeNode("ListItem",
       attrs = Vector("top" -> chunk.top.toString,
         "left" -> chunk.left.toString,
-        "bottom" -> chunk.bottom.toString),
+        "bottom" -> chunk.bottom.toString,
+        "size" -> font(chunk).size.toString),
       text = Some(s))
   }
 
@@ -543,7 +544,18 @@ final class OfftryckParser(
   private val makeBulletlist = Constructor[OTok]("make_bulletlist",
     pushesState = true, p => {
       val li = listitemOf(nextBox(p))
-      Some(p.makeChildren(TreeNode("UnorderedList", children = Vector(li))))
+      val ul = p.makeChildren(
+        TreeNode("UnorderedList", children = Vector(li)))
+      // the reference recomputes the list's extent + font from its
+      // items (offtryck.py:1990-1999) — the commentary pass reads them
+      def ints(k: String) = ul.children.flatMap(_.attr(k))
+        .flatMap(_.toIntOption)
+      val attrs = Vector(
+        "top" -> ints("top").minOption.getOrElse(0).toString,
+        "bottom" -> ints("bottom").maxOption.getOrElse(0).toString,
+        "size" -> ul.children.headOption.flatMap(_.attr("size"))
+          .getOrElse("0"))
+      Some(ul.copy(attrs = attrs))
     })
 
   private val makeAppendix = Constructor[OTok]("make_appendix",

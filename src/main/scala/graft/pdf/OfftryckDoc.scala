@@ -32,7 +32,11 @@ object OfftryckDoc {
         * uses OffsetDecoder20("Datalagskommittén"). */
       decoder20Key: Option[String] = None,
       preset: String = "proposition",
-      parseconfig: String = "default")
+      parseconfig: String = "default",
+      /** When set, the find_commentary/find_primary_law visitor pass
+        * runs per main segment with this statute-citation config (the
+        * named-law dictionary plays the reference's commondata role). */
+      commentary: Option[graft.parse.LawRef.Conf] = None)
 
   // ------------------------------------------------------------ reading
   def read(src: Source): PdfDoc =
@@ -156,8 +160,9 @@ object OfftryckDoc {
   def tokens(pdf: PdfDoc, startpage: Int, pagecount: Int,
              printed: Map[Int, String], baseuri: String,
              srcName: String,
-             glue: (Textbox, Textbox, Textbox) => Boolean)
+             glueVerdict: (Textbox, Textbox, Textbox) => Int)
       : Iterator[OTok] = {
+    import graft.parse.OfftryckGlue.{GlueNewLine, GlueParid, NoGlue}
     pdf.pages.slice(startpage, startpage + pagecount).zipWithIndex
       .iterator.flatMap { case (page, rel) =>
         val idx = startpage + rel
@@ -174,10 +179,27 @@ object OfftryckDoc {
           if (nextbox.text.trim.nonEmpty) {
             textbox match {
               case None => textbox = Some(nextbox)
-              case Some(tb) =>
-                if (glue(tb, nextbox, prevbox.getOrElse(tb)))
+              case Some(tb0) =>
+                // the reference's gluefunc line bookkeeping
+                // (offtryck.py:247-255, 371-373), applied from the
+                // reported verdict since our boxes are immutable
+                var tb = if (tb0.lines < 1)
+                  tb0.copy(lines = 1, lineheight = tb0.height) else tb0
+                val v = glueVerdict(tb, nextbox, prevbox.getOrElse(tb))
+                if (v != NoGlue) {
+                  if (v == GlueNewLine) {
+                    val nl = tb.lines + 1
+                    tb = tb.copy(lines = nl, lineheight =
+                      ((nl - 1) * tb.lineheight + nextbox.height) / nl)
+                  } else if (v == GlueParid) {
+                    val nl = tb.lines + 1
+                    // the reference's own uncorrected precedence:
+                    // (lines - 1 * lineheight) + height, offtryck.py:255
+                    tb = tb.copy(lines = nl, lineheight =
+                      ((nl - 1 * tb.lineheight) + nextbox.height) / nl)
+                  }
                   textbox = Some(tb + nextbox)
-                else { glued += BoxTok(tb); textbox = Some(nextbox) }
+                } else { glued += BoxTok(tb); textbox = Some(nextbox) }
             }
             prevbox = Some(nextbox)
           }
@@ -208,7 +230,7 @@ object OfftryckDoc {
     if (scanned) pdf = sanitizeScanned(pdf)
     val analyzer = new PropAnalyzer(pdf, scanned)
     val printed = paginate(pdf, analyzer, src)
-    val glue = OfftryckGlue.gluefunc(pdf.fontspec, scanned)
+    val glue = OfftryckGlue.verdict(pdf.fontspec, scanned)
 
     def metricsFor(startpage: Int, pagecount: Int): Metrics =
       src.metricsJson.map(metricsFromJson).getOrElse {
@@ -226,8 +248,19 @@ object OfftryckDoc {
           src.identifier, pdf.fontspec,
           initialPageno = pageno.toIntOption.getOrElse(0),
           parseconfig = src.parseconfig)
-        val segBody = parser.parse(tokens(pdf, startpage, pagecount,
+        val segBody0 = parser.parse(tokens(pdf, startpage, pagecount,
           printed, src.baseuri, src.srcName, glue))
+        // visitor pass (offtryck.py:437-441): commentary detection per
+        // segment, with a fresh citation parser (the reference clears
+        // currentlynamedlaws per visitor_functions call)
+        val segBody = src.commentary match {
+          case Some(lawConf) =>
+            val oc = new graft.parse.OfftryckCommentary(src.basefile,
+              new graft.parse.LawRef.Parser(lawConf), lawConf.base,
+              metrics.default.size)
+            oc(segBody0)
+          case None => segBody0
+        }
         segBody.children.foreach(c => body = body.appendChild(c))
         pageno = lastSidbrytning(segBody).map(increment(_, 1)).getOrElse("1")
       } else if (tag == "frontmatter" || tag == "endregister") {
@@ -266,12 +299,22 @@ object OfftryckDoc {
   final case class StructRow(kind: String, frag: String, title: String,
                              depth: Int)
 
-  def structure(body: TreeNode): Vector[StructRow] = {
+  def structure(body: TreeNode,
+                withParagraphs: Boolean = false): Vector[StructRow] = {
     val out = Vector.newBuilder[StructRow]
     var ps = 0; var us = 0; var pu = 0
     def walk(n: TreeNode, depth: Int, noUri: Boolean): Unit = {
       def title = n.attr("title").getOrElse("")
       n.tag match {
+        case "Forfattningskommentar" =>
+          out += StructRow("kommentar",
+            n.attr("comment_on").filter(_.nonEmpty).getOrElse("-"),
+            n.attr("label").getOrElse(""), depth)
+          n.children.foreach(walk(_, depth + 1, noUri))
+        case "Textbox" | "UnorderedList" if withParagraphs =>
+          out += StructRow("p", "-",
+            graft.parse.OfftryckParser.normalizeSpace(
+              graft.parse.OfftryckCommentary.renderTextOf(n)), depth)
         case "FrontmatterSection" =>
           out += StructRow("frontmatter", "-", "", depth)
           n.children.foreach(walk(_, depth + 1, noUri))
