@@ -228,9 +228,19 @@ object OfftryckDoc {
     var pdf = read(src)
     val scanned = src.hocr
     if (scanned) pdf = sanitizeScanned(pdf)
-    val analyzer = new PropAnalyzer(pdf, scanned)
-    val printed = paginate(pdf, analyzer, src)
     val glue = OfftryckGlue.verdict(pdf.fontspec, scanned)
+    // get_pdf_analyzer (offtryck.py:969-986): doctype-specific
+    // segmentation/metrics; parse_body hands the SOU/Ds analyzers the
+    // gluefunc for their titleish probes (offtryck.py:421-424)
+    val glueBool = OfftryckGlue.gluefunc(pdf.fontspec, scanned)
+    val analyzer: PdfAnalyzer = src.preset match {
+      case "proposition" => new PropAnalyzer(pdf, scanned)
+      case "sou" => new SouAnalyzer(pdf, scanned, Some(glueBool))
+      case "ds" => new DsAnalyzer(pdf, scanned, Some(glueBool))
+      case "dir" => new DirAnalyzer(pdf, scanned)
+      case _ => new PdfAnalyzer(pdf, scannedSource = scanned)
+    }
+    val printed = paginate(pdf, analyzer, src)
 
     def metricsFor(startpage: Int, pagecount: Int): Metrics =
       src.metricsJson.map(metricsFromJson).getOrElse {

@@ -35,8 +35,11 @@ class OfftryckStructureSpec extends AnyFunSuite {
     else None
   }
 
-  /** Assemble a Source from a fixture directory. */
-  private def load(repo: String, ydir: String, num: String)
+  /** Assemble a Source from a fixture directory. `preset` picks the
+    * doctype (proposition/sou/ds/dir — the identifier prefix, URI
+    * space and analyzer follow it). */
+  private def load(repo: String, ydir: String, num: String,
+                   preset: String = "proposition")
       : Option[(Source, String)] = {
     val idir = s"$root/$repo/intermediate/$ydir/$num"
     val dir = java.nio.file.Paths.get(idir)
@@ -53,15 +56,21 @@ class OfftryckStructureSpec extends AnyFunSuite {
       else if (n.endsWith(".hocr.html.bz2")) hocrBz2 = Some(f)
     }
     val basefile = s"${ydir.replaceFirst("-", "/")}:$num"
-    val identifier = s"Prop. $basefile"
-    val baseuri = s"https://lagen.nu/prop/$basefile"
+    val (prefix, space) = preset match {
+      case "sou" => ("SOU ", "sou")
+      case "ds" => ("Ds ", "ds")
+      case "dir" => ("Dir. ", "dir")
+      case _ => ("Prop. ", "prop")
+    }
+    val identifier = s"$prefix$basefile"
+    val baseuri = s"https://lagen.nu/$space/$basefile"
     val (content, hocr, srcName, fontinfo) = (xmlBz2, hocrBz2) match {
       case (Some(x), _) =>
         val stem = x.getFileName.toString.stripSuffix(".xml.bz2")
         val fi = readOpt(s"$idir/$stem.xml.fontinfo")
           .map(PdfReader.parseFontinfo).getOrElse(Map.empty[String, String])
-        val pdfName = if (repo == "propriksdagen") "index.pdf"
-                      else s"$stem.pdf"
+        val pdfName = if (repo == "propriksdagen" || repo == "soukb")
+          "index.pdf" else s"$stem.pdf"
         (readBz2(x), false, pdfName, fi)
       case (None, Some(h)) => (readBz2(h), true, "index.pdf",
         Map.empty[String, String])
@@ -72,7 +81,8 @@ class OfftryckStructureSpec extends AnyFunSuite {
       metricsJson = readOpt(s"$idir/index.metrics.json"),
       pagemappingJson = readOpt(s"$idir/index.pagemapping.json"),
       decoder20Key = if (basefile == "1997/98:44")
-        Some("Datalagskommittén") else None), golden))
+        Some("Datalagskommittén") else None,
+      preset = preset), golden))
   }
 
   // ------------------------------------------- golden skeleton extractor
@@ -173,8 +183,9 @@ class OfftryckStructureSpec extends AnyFunSuite {
     sb.toString
   }
 
-  private def check(repo: String, ydir: String, num: String): Unit = {
-    val (src, golden) = load(repo, ydir, num).getOrElse(
+  private def check(repo: String, ydir: String, num: String,
+                    preset: String = "proposition"): Unit = {
+    val (src, golden) = load(repo, ydir, num, preset).getOrElse(
       fail(s"fixture $repo/$ydir/$num not loadable"))
     val body = OfftryckDoc.parse(src)
     val got = OfftryckDoc.skeleton(body)
@@ -256,5 +267,25 @@ class OfftryckStructureSpec extends AnyFunSuite {
 
   test("prop 1992/93:30 (scanned hOCR, cached pagemapping)") {
     check("propriksdagen", "1992-93", "30")
+  }
+
+  test("dir 2014:158 (kommittédirektiv, DirAnalyzer)") {
+    check("dirregeringen", "2014", "158", preset = "dir")
+  }
+
+  test("ds 2016:46 (DsAnalyzer frontmatter segmentation)") {
+    check("dsregeringen", "2016", "46", preset = "ds")
+  }
+
+  test("sou 2013:75 (SOUAnalyzer)") {
+    check("souregeringen", "2013", "75", preset = "sou")
+  }
+
+  test("sou 2017:66 (SOUAnalyzer)") {
+    check("souregeringen", "2017", "66", preset = "sou")
+  }
+
+  test("sou 1972:47 (scanned KB hOCR, cover pagination)") {
+    check("soukb", "1972", "47", preset = "sou")
   }
 }
