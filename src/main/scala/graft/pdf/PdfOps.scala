@@ -365,6 +365,7 @@ object PdfOps {
     "pdf_analyze_metrics" -> analyzeMetrics,
     "pdf_offtryck_paragraphs" -> offtryckParagraphs,
     "pdf_offtryck_structure" -> PropCorpus.offtryckStructure,
+    "pdf_offtryck_commentary" -> PropCorpus.offtryckCommentary,
     "pdf_hocr_lines" -> hocrLines)
 
   val baseTables: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,6 +382,7 @@ object PdfOps {
     * dehyphenates). */
   val oracleSql: Map[String, String] = Map(
     "pdf_offtryck_structure" -> PropCorpus.oracleSql,
+    "pdf_offtryck_commentary" -> PropCorpus.commentaryOracleSql,
     // The analyzer re-derived relationally (pdfanalyze.py semantics):
     // insertion-order tie-breaks become min(global box order);
     // most_common ranking = (count DESC, first-seen ASC); the
