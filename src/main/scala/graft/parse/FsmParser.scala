@@ -74,6 +74,13 @@ final class FsmParser[C](cfg: FsmParser.Config[C], chunks: Iterator[C]) {
 
   val reader = new Peekable[C](chunks)
   private val stateStack = mutable.Stack[String](cfg.initialState)
+  private val removed = mutable.Set.empty[String]
+
+  /** The reference's parser.remove_recognizer (fsmparser.py:110-118,
+    * used by e.g. the JO parser once the single decision date has been
+    * consumed): the recognizer stops matching for the rest of the
+    * parse. */
+  def removeRecognizer(name: String): Unit = removed += name
 
   /** Current state stack, innermost first (for dynamic transitions). */
   def states: Seq[String] = stateStack.toSeq
@@ -86,8 +93,9 @@ final class FsmParser[C](cfg: FsmParser.Config[C], chunks: Iterator[C]) {
     if (reader.peekOpt().isEmpty) return None
     val state = stateStack.top
     val applicable = cfg.recognizers.filter(r =>
-      cfg.transitions.contains((state, r.name)) ||
-        cfg.dynamicTransitions.contains((state, r.name)))
+      !removed.contains(r.name) &&
+        (cfg.transitions.contains((state, r.name)) ||
+          cfg.dynamicTransitions.contains((state, r.name))))
     applicable.find(_.matches(this)) match {
       case some @ Some(_) => some
       case None =>
