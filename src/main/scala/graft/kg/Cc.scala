@@ -79,10 +79,18 @@ object Cc {
     * coalesce). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           localByteBudget: Long = LocalByteBudget): DataFrame = {
+    // persist the filtered edge set: the byte-budget probe (limit-count +
+    // width sample) and the chosen path's own consumption would otherwise
+    // re-evaluate the upstream union/scan three times (guide §5 caching:
+    // reused AND expensive to recompute — the edge source is typically a
+    // full scan of the doc-triples table)
     val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
-    if (fitsDriverBudget(e0, "src", "dst", localByteBudget))
-      localComponents(e0)
-    else distributedComponents(e0, maxIter)
+      .persist()
+    try {
+      if (fitsDriverBudget(e0, "src", "dst", localByteBudget))
+        localComponents(e0)
+      else distributedComponents(e0, maxIter)
+    } finally e0.unpersist(blocking = false)
   }
 
   /** Driver-side union-find (path-halving + union by attaching to the
@@ -166,8 +174,11 @@ object Cc {
   /** Rewrite subj/obj of a triple table through the canon map. Literals are
     * never rewritten. `canon` is small relative to triples (one row per
     * aliased URI) → broadcast both probes; output deduped (two aliases of
-    * the same statement collapse to one canonical row). */
-  def rewrite(triples: DataFrame, canon: DataFrame): DataFrame = {
+    * the same statement collapse to one canonical row). Callers that fuse
+    * the dedup with their own layout exchange (KgStages.materialize) pass
+    * `dedup = false` and do an equivalent dropDuplicates themselves. */
+  def rewrite(triples: DataFrame, canon: DataFrame,
+              dedup: Boolean = true): DataFrame = {
     val cs = broadcast(canon.select(col("uri").as("_su"), col("canon").as("_sc")))
     val co = broadcast(canon.select(col("uri").as("_ou"), col("canon").as("_oc")))
     triples
@@ -181,6 +192,6 @@ object Cc {
       .withColumn("subj", coalesce(col("_sc"), col("subj")))
       .withColumn("obj", coalesce(col("_oc"), col("obj")))
       .drop("_su", "_sc", "_ou", "_oc")
-      .dropDuplicates()
+      .transform(df => if (dedup) df.dropDuplicates() else df)
   }
 }

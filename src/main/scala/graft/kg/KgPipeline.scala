@@ -175,10 +175,13 @@ object KgPipeline {
       broadcastDict = conf.broadcastDict, salt = conf.salt).persist()
     var parsedRows = 0L
     var failedRows = 0L
+    // Wave 1 populates the `linked` cache with ONE computation (concurrent
+    // first actions on an unfilled persist would each recompute the join —
+    // observed as l1≈l2≈l3 all paying the build), overlapped with the
+    // linked-independent C stage and counts; wave 2's three aggregations
+    // then all read the cache.
     inParallel(
-      () => timed("l1_link_triples")(write(KgStages.linkTriplesDf(linked), "link_triples")),
-      () => timed("l2_deps")(write(KgStages.depsDf(linked), "deps")),
-      () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")),
+      () => timed("l0_link_build")(linked.count()): Unit,
       () => timed("c1_cc") {
         // curated edges + the parse-minted owl:sameAs equivalents
         val allEdges = sameAs.toDF("src", "dst").unionByName(
@@ -190,6 +193,10 @@ object KgPipeline {
       },
       () => { parsedRows = timed("p6_counts")(docs.count()) },
       () => { failedRows = timed("p6_counts")(read("failures").count()) })
+    inParallel(
+      () => timed("l1_link_triples")(write(KgStages.linkTriplesDf(linked), "link_triples")),
+      () => timed("l2_deps")(write(KgStages.depsDf(linked), "deps")),
+      () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")))
     linked.unpersist()
     // fuzzy label upgrade of publisher literals (ratio >= 0.8)
     val docTriples = KgStages.fuzzyUpgrade(docTriples0,

@@ -114,8 +114,6 @@ object KgStages {
     input.mapPartitions { rows =>
       rows.map { src =>
         val t0 = System.nanoTime()
-        val docId = s"${src.repo}/${src.path}@${src.commit}"
-        val sha = RfcDoc.sha256Hex(src.content)
         try {
           val p = graft.parse.DocParsers.parse(src)
           ParseOut(p.docId, src.repo, src.path, src.commit, src.lang,
@@ -123,8 +121,11 @@ object KgStages {
             None, (System.nanoTime() - t0) / 1000000)
         } catch {
           case e: Exception =>
+            // sha only needed on the (rare) failure path — computing it
+            // up front doubled the digest work of every healthy row
+            val docId = s"${src.repo}/${src.path}@${src.commit}"
             ParseOut(docId, src.repo, src.path, src.commit, src.lang,
-              sha, "", "", "", Seq.empty, Seq.empty,
+              RfcDoc.sha256Hex(src.content), "", "", "", Seq.empty, Seq.empty,
               Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"),
               (System.nanoTime() - t0) / 1000000)
         }
@@ -163,7 +164,9 @@ object KgStages {
     val spark = docTriples.sparkSession
     val static = (EntityDict.publishers.values.toSeq ++
       EntityDict.categories.values.toSeq).distinct
-    docTriples.select(col("subj").as("uri")).distinct()
+    // one distinct over the union instead of distinct-union-distinct:
+    // same set, one exchange less (guide §2.4)
+    docTriples.select(col("subj").as("uri"))
       .unionByName(spark.createDataFrame(
         static.map(Tuple1(_))).toDF("uri"))
       .distinct()
@@ -297,9 +300,21 @@ object KgStages {
     val all = docTriples
       .unionByName(linkTriples)
       .unionByName(curated, allowMissingColumns = true)
-    Cc.rewrite(all, canon)
-      .repartition(col("repo"), col("lang"),
-        pmod(xxhash64(col("subj")), lit(writeSalt)))
+    // ONE exchange instead of two (guide §2.4): the write-layout
+    // repartition keys on (repo, lang, salt-of-subj) with the salt
+    // MATERIALIZED as a column, and the dedup groups on every column
+    // INCLUDING that salt. Since the salt is a pure function of subj, the
+    // dedup semantics are unchanged — but now the repartition's
+    // HashPartitioning is a subset of the dedup's grouping keys, so
+    // EnsureRequirements reuses it and dropDuplicates adds no second
+    // shuffle of the full triple table. File layout and skew behavior are
+    // exactly the former repartition's (each (repo, lang) dir split across
+    // `writeSalt` write tasks).
+    Cc.rewrite(all, canon, dedup = false)
+      .withColumn("__salt", pmod(xxhash64(col("subj")), lit(writeSalt)))
+      .repartition(col("repo"), col("lang"), col("__salt"))
+      .dropDuplicates()
+      .drop("__salt")
   }
 
   // ------------------------------------------------------------ lineage

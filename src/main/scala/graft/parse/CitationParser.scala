@@ -13,12 +13,29 @@ import scala.util.matching.Regex
 object CitationParser {
 
   /** One grammar: a regex with named groups + a formatter from captured
-    * groups to a candidate URI (possibly doc-relative, starting with "#"). */
+    * groups to a candidate URI (possibly doc-relative, starting with "#").
+    * `prefilter` is an optional cheap necessary condition implied by the
+    * pattern (a literal substring the regex cannot match without): when it
+    * returns false the regex engine is never invoked for the span. Purely
+    * an evaluation shortcut — it must never change which spans match. */
   final case class Grammar(
       name: String,
       pattern: Regex,
       groups: Seq[String],
-      format: Map[String, String] => String)
+      format: Map[String, String] => String,
+      prefilter: String => Boolean = _ => true)
+
+  /** Case-insensitive substring probe (needle must be lowercase ASCII) —
+    * allocation-free, used by grammar prefilters. */
+  def containsIgnoreCase(hay: String, needle: String): Boolean = {
+    val n = hay.length - needle.length
+    var i = 0
+    while (i <= n) {
+      if (hay.regionMatches(true, i, needle, 0, needle.length)) return true
+      i += 1
+    }
+    false
+  }
 
   final case class Citation(
       grammar: String,
@@ -36,7 +53,7 @@ object CitationParser {
     val taken = new Array[Boolean](text.length)
     def free(s: Int, e: Int): Boolean = { var i = s; while (i < e) { if (taken(i)) return false; i += 1 }; true }
     def mark(s: Int, e: Int): Unit = { var i = s; while (i < e) { taken(i) = true; i += 1 } }
-    for (g <- grammars) {
+    for (g <- grammars; if g.prefilter(text)) {
       for (m <- g.pattern.findAllMatchIn(text)) {
         if (free(m.start, m.end)) {
           mark(m.start, m.end)
@@ -56,7 +73,8 @@ object CitationParser {
     * grammars never fire inside a URL. */
   val urlGrammar: Grammar = Grammar("URLRef",
     """\b(?:https?|ftp)://[^\s<>"]*[^\s<>".,;:)\]]""".r,
-    Seq.empty, _ => "") // candidate URI = matched text; handled in scanUrl
+    Seq.empty, _ => "", // candidate URI = matched text; handled in scanUrl
+    prefilter = _.contains("://"))
 
   /** Scan with URL grammar first (mask), then the given grammars. URL
     * citations resolve to the URL text itself. */
@@ -77,13 +95,17 @@ object CitationParser {
     Seq(
       Grammar("SecRFCRef",
         """(?i)\bsection (?<sec>\d[\d.]*) of \[?RFC ?(?<rfc>\d+)\]?""".r,
-        Seq("sec", "rfc"), c => rfcPart(c) + secPart(c)),
+        Seq("sec", "rfc"), c => rfcPart(c) + secPart(c),
+        prefilter = t => containsIgnoreCase(t, "section ") &&
+          containsIgnoreCase(t, "rfc")),
       Grammar("SecRef",
         """(?i)\bsection (?<sec>\d[\d.]*)""".r,
-        Seq("sec"), c => secPart(c)),
+        Seq("sec"), c => secPart(c),
+        prefilter = containsIgnoreCase(_, "section ")),
       Grammar("RFCRef",
         """\[?RFC ?(?<rfc>\d+)\]?""".r,
-        Seq("rfc"), c => rfcPart(c)))
+        Seq("rfc"), c => rfcPart(c),
+        prefilter = _.contains("RFC")))
   }
 
   // --------------------------------------------------------------- eulaw
@@ -131,13 +153,21 @@ object CitationParser {
     }
     def artFrag(c: Map[String, String]): String =
       "#A" + c("art") + c.get("subart").map("." + _).getOrElse("")
+    // literal substrings each pattern cannot match without (evaluation
+    // shortcut only): both article grammars require "artikel ", both act
+    // grammars the literal "av den " of the date clause
+    val hasArtikel = (t: String) => t.contains("artikel ")
+    val hasActDate = (t: String) => t.contains("av den ")
     Seq(
       Grammar("EULawArticleAct", s"""\\b$article i $act""".r,
         Seq("art", "subart", "acttype", "dyear", "dord", "ryear", "rord"),
-        c => actUri(c) + artFrag(c)),
+        c => actUri(c) + artFrag(c),
+        prefilter = t => hasArtikel(t) && hasActDate(t)),
       Grammar("EULawAct", s"""\\b$act""".r,
-        Seq("acttype", "dyear", "dord", "ryear", "rord"), actUri),
+        Seq("acttype", "dyear", "dord", "ryear", "rord"), actUri,
+        prefilter = hasActDate),
       Grammar("EULawArticle", s"""\\b$article""".r,
-        Seq("art", "subart"), artFrag))
+        Seq("art", "subart"), artFrag,
+        prefilter = hasArtikel))
   }
 }

@@ -30,9 +30,19 @@ object RfcDoc {
       triples: Vector[Triple],
       mentions: Vector[Mention])
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   private val months = Map(
@@ -156,6 +166,8 @@ object RfcDoc {
     (node.copy(children = kept.result()), short)
   }
 
+  private val sectionTags = Set("Section", "Subsection", "Subsubsection")
+
   /** Per-section structure triples: DocumentPart/isPartOf chains in the
     * fixture shape (123/a.ttl; decorate-bodyparts semantics). */
   def sectionTriples(body: TreeNode, docUri: String, graph: String,
@@ -163,7 +175,7 @@ object RfcDoc {
     val out = Vector.newBuilder[Triple]
     def walk(n: TreeNode, parentUri: String): Unit =
       n.children.foreach { c =>
-        if (Set("Section", "Subsection", "Subsubsection")(c.tag)) {
+        if (sectionTags(c.tag)) {
           val ord = c.attr("ordinal").getOrElse("")
           val secUri = graft.kg.Coin.sectionUri(docUri, ord)
           out += Triple.uri(secUri, Vocab.RDF_TYPE, Vocab.bibo("DocumentPart"), graph)
@@ -197,7 +209,7 @@ object RfcDoc {
     val out = Vector.newBuilder[Mention]
     def walk(n: TreeNode, subjUri: String): Unit = {
       val here =
-        if (Set("Section", "Subsection", "Subsubsection")(n.tag))
+        if (sectionTags(n.tag))
           n.attr("ordinal").map(graft.kg.Coin.sectionUri(docUri, _)).getOrElse(subjUri)
         else subjUri
       n.text.foreach { t =>

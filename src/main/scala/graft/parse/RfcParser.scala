@@ -33,7 +33,7 @@ object RfcParser {
   private val sectionStart = """^(\d[.\d]*) +(.*[^.])$""".r
 
   /** "1.  Introduction" → (ordinal, title); None for plain paragraphs. */
-  private def analyzeSectionStart(chunk: String): Option[(String, String)] =
+  private def analyzeSectionStart0(chunk: String): Option[(String, String)] =
     // the reference regex is a single-line match: any newline in the chunk
     // means it is a paragraph, not a section heading
     if (chunk.contains("\n")) None
@@ -41,19 +41,39 @@ object RfcParser {
       (m.group(1).replaceAll("\\.+$", ""), m.group(2))
     }
 
+  /** The section/subsection/subsubsection recognizers each re-analyze the
+    * SAME peeked chunk instance in priority order; a one-slot identity
+    * memo (thread-confined — one FsmParser per task thread) makes the
+    * second and third probes free. */
+  private val secMemo =
+    new ThreadLocal[(String, Option[(String, String)])]
+
+  private[parse] def analyzeSectionStart(chunk: String): Option[(String, String)] = {
+    val m = secMemo.get()
+    if (m != null && (m._1 eq chunk)) m._2
+    else {
+      val r = analyzeSectionStart0(chunk)
+      secMemo.set((chunk, r))
+      r
+    }
+  }
+
+  private val dotRe = java.util.regex.Pattern.compile("\\.")
+
   private def sectionDepth(chunk: String): Int =
     analyzeSectionStart(chunk)
-      .map(_._1.split("\\.").count(_.nonEmpty)).getOrElse(0)
+      .map(s => dotRe.split(s._1, -1).count(_.nonEmpty)).getOrElse(0)
 
   private def isPreformattedChunk(chunk: String): Boolean = {
     // drop the standard 3-space paragraph indent, un-double sentence spacing;
-    // remaining double spaces / leader dots indicate tables or TOCs
-    val stripped = chunk.split("\n", -1)
-      .map(l => if (l.length > 3) l.substring(3) else "")
-      .mkString("\n")
-      .replace(".  ", ". ")
-    stripped.contains("  ") || stripped.contains("....") ||
-      stripped.contains(". . . ")
+    // remaining double spaces / leader dots indicate tables or TOCs.
+    // Evaluated line-by-line: the markers (".  " un-doubling and the three
+    // probes) are all newline-free, so per-line evaluation is equivalent to
+    // the joined form and skips the join/copy allocations.
+    chunk.split("\n", -1).exists { l =>
+      val s = (if (l.length > 3) l.substring(3) else "").replace(".  ", ". ")
+      s.contains("  ") || s.contains("....") || s.contains(". . . ")
+    }
   }
 
   private def peek(p: FsmParser[String]): String = p.reader.peek()
@@ -106,10 +126,13 @@ object RfcParser {
     p => Some(p.makeChildren(TreeNode("PreambleSection",
       attrs = Vector("title" -> "(Abstract)")))))
 
+  private val multiSpaceRe = java.util.regex.Pattern.compile("  +")
+  private val wsRe = java.util.regex.Pattern.compile("\\s+")
+
   private def skipPagebreak = Constructor[String]("skip_pagebreak", pushesState = false, { p =>
     val chunk = p.reader.next()
     val lastline = chunk.split("\n", -1).last
-    val parts = lastline.split("  +", -1)
+    val parts = multiSpaceRe.split(lastline, -1)
     if (parts.length > 2)
       Some(TreeNode("Pagebreak", attrs = Vector("shorttitle" -> parts(1))))
     else None
@@ -117,12 +140,20 @@ object RfcParser {
 
   private def makeParagraph = Constructor[String]("make_paragraph", pushesState = false,
     p => Some(TreeNode("Paragraph")
-      .appendText(p.reader.next().split("\\s+").filter(_.nonEmpty).mkString(" "))))
+      .appendText(wsRe.split(p.reader.next(), -1).filter(_.nonEmpty).mkString(" "))))
 
   private def makePreformatted = Constructor[String]("make_preformatted", pushesState = false,
     p => Some(TreeNode("Preformatted").appendText(p.reader.next())))
 
-  private def makeSectionAt(tag: String, basefile: String) =
+  /** The document's basefile, bound for the duration of one parse() call
+    * (thread-confined — one FsmParser per task thread). Keeping it out of
+    * the constructor closures lets the whole FSM config be built ONCE per
+    * JVM instead of once per document. */
+  private val tlBasefile = new ThreadLocal[String] {
+    override def initialValue(): String = "0"
+  }
+
+  private def makeSectionAt(tag: String) =
     Constructor[String](s"make_${tag.toLowerCase}", pushesState = true, { p =>
       val chunk = p.reader.next()
       val (ordinal, title) = analyzeSectionStart(chunk)
@@ -130,7 +161,7 @@ object RfcParser {
       Some(p.makeChildren(TreeNode(tag, attrs = Vector(
         "ordinal" -> ordinal,
         "title" -> title,
-        "identifier" -> s"RFC $basefile, section $ordinal"))))
+        "identifier" -> s"RFC ${tlBasefile.get()}, section $ordinal"))))
     })
 
   private def makeListItem = Constructor[String]("make_listitem", pushesState = true, { p =>
@@ -153,10 +184,10 @@ object RfcParser {
       Some(p.makeChildren(ol))
     })
 
-  def config(basefile: String = "0"): Config[String] = {
-    val makeSection = makeSectionAt("Section", basefile)
-    val makeSubsection = makeSectionAt("Subsection", basefile)
-    val makeSubsubsection = makeSectionAt("Subsubsection", basefile)
+  private lazy val staticConfig: Config[String] = {
+    val makeSection = makeSectionAt("Section")
+    val makeSubsection = makeSectionAt("Subsection")
+    val makeSubsubsection = makeSectionAt("Subsubsection")
     val common = Seq("section", "subsection", "subsubsection")
 
     val t = Map.newBuilder[(String, String), Transition[String]]
@@ -200,12 +231,25 @@ object RfcParser {
     * consumed, chunk runs to the next blank line (TextReader.readparagraph,
     * /root/reference/ferenda/textreader.py:159-167); faux-bold backspace
     * sequences scrubbed (rfc.py:462-467). */
+  private val boldRe = java.util.regex.Pattern.compile(".\\u0008")
+  private val blankLineRe = java.util.regex.Pattern.compile("\n\n+")
+
   def paragraphs(text: String): Iterator[String] = {
-    val clean = text.replaceAll(".\\u0008", "")
-    clean.split("\n\n+", -1).iterator.map(_.dropWhile(_ == '\n')).filter(_.nonEmpty)
+    val clean =
+      if (text.indexOf('\u0008') < 0) text
+      else boldRe.matcher(text).replaceAll("")
+    blankLineRe.split(clean, -1).iterator
+      .map(_.dropWhile(_ == '\n')).filter(_.nonEmpty)
+  }
+
+  def config(basefile: String = "0"): Config[String] = {
+    tlBasefile.set(basefile)
+    staticConfig
   }
 
   /** Parse one RFC-shaped document into its element tree. */
-  def parse(text: String, basefile: String = "0"): TreeNode =
-    new FsmParser(config(basefile), paragraphs(text)).parse()
+  def parse(text: String, basefile: String = "0"): TreeNode = {
+    tlBasefile.set(basefile)
+    new FsmParser(staticConfig, paragraphs(text)).parse()
+  }
 }
