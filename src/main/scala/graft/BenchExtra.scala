@@ -157,6 +157,30 @@ object BenchExtra {
     } finally s.stop()
   }
 
+  /** Count-based timing — the SAME action the frozen bench grades, so
+    * numbers transfer 1:1 (one warm pass, min of two timed). */
+  private def countTime(queries: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val s = session(cpus)
+    try {
+      val reg = SparkEntry.queries
+      def one(q: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        fn(s, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release()
+        dt
+      }
+      for (q <- queries; fn <- reg.get(q)) {
+        s.sparkContext.setJobDescription(s"time:$q")
+        one(q, fn)
+        val (a, b) = (one(q, fn), one(q, fn))
+        println(f"$q%-28s count min=${math.min(a, b)}%.3fs  (p1=$a%.3f p2=$b%.3f)")
+      }
+    } finally s.stop()
+  }
+
   private def explainDump(outDir: String, queries: Seq[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -188,6 +212,7 @@ object BenchExtra {
       val cpus = rest.lift(1).map(_.toInt).getOrElse(4)
       pipelineProfile(n, cpus)
     case "noop" :: qs if qs.nonEmpty => noopTime(qs)
+    case "time" :: qs if qs.nonEmpty => countTime(qs)
     case "explain" :: out :: qs => explainDump(out, qs)
     case _ =>
       System.err.println("usage: parse [n] | pipeline [n] [cpus] | " +

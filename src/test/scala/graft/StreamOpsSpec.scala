@@ -85,6 +85,29 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 < 0)) // sentinels dropped
   }
 
+  test("read-back driver gate: above-budget path returns identical rows " +
+      "without a driver collect") {
+    val dir = "/root/testdata/sf0.001"
+    def run(budget: Long) = StreamOps.runAvailableNowForTest(spark, dir,
+      budget) { stream =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+      } { rb =>
+        rb.filter(col("user_id") >= 0).orderBy("user_id", "event_type")
+      }
+    val below = run(Long.MaxValue) // collected path (default regime)
+    val above = run(0L)            // gated path: parquet-backed frame
+    // the gated frame stays lazy/parquet-backed — its plan must contain a
+    // file scan, not a LocalRelation of collected rows
+    assert(above.queryExecution.optimizedPlan.collectLeaves().exists(
+      _.getClass.getSimpleName.contains("LogicalRelation")))
+    val a = below.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = above.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("sessionize: batch-mode state function groups per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
