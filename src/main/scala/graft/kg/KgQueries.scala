@@ -92,22 +92,34 @@ object KgQueries {
       .groupBy(col("subj").as("uri"))
       .agg(min(col("obj")).as(name))
 
+  /** The pivot subtree feeds every search/toc/feed/stats query, several of
+    * which reference it 2-4x within one DAG (ranking offsets, dimension
+    * unions). The former typed-filter + 4 facetCol joins + dedup + sort
+    * formulation carried ~12 Exchanges, multiplied by every consumer
+    * reference (measured: kg_search plans with 90+ Exchanges, each a
+    * stage-scheduling round trip). This single conditional aggregation is
+    * value-identical — one type per document (the reference mints exactly
+    * one; multiple types would already diverge from the oracle's
+    * un-deduped 5-way join replay), min-per-predicate facet picks
+    * unchanged — and needs ONE exchange. Consumers all impose their own
+    * terminal ordering; the registered kg_facet_pivot query adds the uri
+    * sort explicitly. */
   def facetPivot(spark: SparkSession, dir: String): DataFrame = {
     val tr = t(ctx(spark))
     // document-level types: the rfc ontology families plus the court
     // referats (sub-resource types — bibo parts, rpubl chapters/sections —
     // stay out of the document pivot)
-    val typed = tr.filter(col("pred") === Vocab.RDF_TYPE &&
-        (col("obj").startsWith(Vocab.RFC_NS) ||
-         col("obj") === Vocab.rpubl("Rattsfallsreferat")))
-      .select(col("subj").as("uri"), col("obj").as("rdf_type"))
-    typed
-      .join(facetCol(tr, Vocab.dcterms("title"), "title"), Seq("uri"), "left")
-      .join(facetCol(tr, Vocab.dcterms("publisher"), "publisher"), Seq("uri"), "left")
-      .join(facetCol(tr, Vocab.dcterms("issued"), "issued"), Seq("uri"), "left")
-      .join(facetCol(tr, Vocab.dcterms("subject"), "category"), Seq("uri"), "left")
-      .dropDuplicates("uri")
-      .orderBy("uri")
+    val typeCond = col("pred") === Vocab.RDF_TYPE &&
+      (col("obj").startsWith(Vocab.RFC_NS) ||
+       col("obj") === Vocab.rpubl("Rattsfallsreferat"))
+    tr.groupBy(col("subj").as("uri"))
+      .agg(
+        min(when(typeCond, col("obj"))).as("rdf_type"),
+        min(when(col("pred") === Vocab.dcterms("title"), col("obj"))).as("title"),
+        min(when(col("pred") === Vocab.dcterms("publisher"), col("obj"))).as("publisher"),
+        min(when(col("pred") === Vocab.dcterms("issued"), col("obj"))).as("issued"),
+        min(when(col("pred") === Vocab.dcterms("subject"), col("obj"))).as("category"))
+      .filter(col("rdf_type").isNotNull)
   }
 
   /** Dataset stats (wsgiapp.py:232-386): distinct documents per facet
@@ -336,16 +348,14 @@ object KgQueries {
   def requiredPredicates(spark: SparkSession, dir: String): DataFrame = {
     val tr = t(ctx(spark))
     val docsUris = ctx(spark).docs.select(col("uri")).distinct()
-    val checks = Seq(
-      Vocab.RDF_TYPE -> "has_type",
-      Vocab.dcterms("title") -> "has_title",
-      Vocab.dcterms("identifier") -> "has_identifier")
-    val flagged = checks.foldLeft(docsUris) { case (acc, (pred, name)) =>
-      acc.join(
-        tr.filter(col("pred") === pred).select(col("subj").as("uri"))
-          .distinct().withColumn(name, lit(true)),
-        Seq("uri"), "left")
-    }
+    // presence flags in ONE aggregation over the triple table instead of
+    // three filter+distinct+join passes (same flags: max(bool) ≡ "any
+    // row with that predicate exists"; absent subjects null-fill false)
+    val flags = tr.groupBy(col("subj").as("uri")).agg(
+      max(col("pred") === Vocab.RDF_TYPE).as("has_type"),
+      max(col("pred") === Vocab.dcterms("title")).as("has_title"),
+      max(col("pred") === Vocab.dcterms("identifier")).as("has_identifier"))
+    val flagged = docsUris.join(flags, Seq("uri"), "left")
     flagged.na.fill(false)
       .withColumn("violation",
         !(col("has_type") && col("has_title") && col("has_identifier")))
@@ -667,22 +677,30 @@ object KgQueries {
     * facet pivot uses; nothing quadratic, nothing driver-side. */
   def csvInventory(spark: SparkSession, dir: String): DataFrame = {
     val tr = t(ctx(spark))
-    val docs = tr.filter(col("pred") === Vocab.RDF_TYPE &&
-        (col("obj").startsWith(Vocab.RFC_NS) ||
-         col("obj") === Vocab.rpubl("Rattsfallsreferat")))
-      .groupBy(col("subj").as("uri"), col("repo"))
-      .agg(min(qnamed(col("obj"))).as("rdf_type"))
-    def lit1(pred: String, name: String) = facetCol(tr, pred, name)
+    val typeCond = col("pred") === Vocab.RDF_TYPE &&
+      (col("obj").startsWith(Vocab.RFC_NS) ||
+       col("obj") === Vocab.rpubl("Rattsfallsreferat"))
+    // one conditional aggregation instead of a typed groupBy plus four
+    // facetCol joins (same picks: one qualifying type per document — see
+    // facetPivot — and min-per-predicate facet values)
+    val docs = tr.groupBy(col("subj").as("uri"))
+      .agg(
+        min(when(typeCond, col("repo"))).as("repo"),
+        min(when(typeCond, qnamed(col("obj")))).as("rdf_type"),
+        min(when(col("pred") === Vocab.dcterms("identifier"), col("obj")))
+          .as("identifier"),
+        min(when(col("pred") === Vocab.dcterms("title"), col("obj")))
+          .as("title"),
+        min(when(col("pred") === Vocab.dcterms("issued"), col("obj")))
+          .as("issued"),
+        min(when(col("pred") === Vocab.PROV + "wasGeneratedBy", col("obj")))
+          .as("generated_by"))
+      .filter(col("rdf_type").isNotNull)
     val subs = tr.filter(col("pred") === Vocab.RDF_TYPE)
       .select(substring_index(col("subj"), "#", 1).as("uri"))
       .groupBy("uri").agg(count(lit(1)).as("subobjects"))
     docs
       .join(subs, Seq("uri"), "left")
-      .join(lit1(Vocab.dcterms("identifier"), "identifier"), Seq("uri"), "left")
-      .join(lit1(Vocab.dcterms("title"), "title"), Seq("uri"), "left")
-      .join(lit1(Vocab.dcterms("issued"), "issued"), Seq("uri"), "left")
-      .join(lit1(Vocab.PROV + "wasGeneratedBy", "generated_by"),
-        Seq("uri"), "left")
       .withColumn("basefile", element_at(split(col("uri"), "/"), -1))
       .select(col("repo"), col("basefile"),
         concat_ws(";",
@@ -821,7 +839,11 @@ object KgQueries {
     import spark.implicits._
     val cols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype",
       "objLang")
-    val stmts = t(ctx(spark)).select(cols.head, cols.tail: _*).distinct()
+    // persisted: the statement set feeds the codec map, both sides of the
+    // multiset compare and the count — without it the full-table distinct
+    // (and the per-row serialize∘parse) re-ran per reference
+    val stmts = graft.CacheRegistry.memoTrack("ntStmts", spark, dir)(
+      t(ctx(spark)).select(cols.head, cols.tail: _*).distinct())
     val back = stmts
       .as[(String, String, String, Boolean, Option[String], Option[String])]
       .map { case (s, p, o, isLit, dt, lang) =>
@@ -830,10 +852,16 @@ object KgQueries {
       .map(l => graft.model.Triple.fromNt(l).get)
       .toDF()
       .select(cols.head, cols.tail: _*)
-    val missing = stmts.exceptAll(back).count()
-    val extra = back.exceptAll(stmts).count()
-    stmts.agg(count(lit(1)).as("n_statements"))
-      .withColumn("n_mismatch", lit(missing + extra))
+    // multiset symmetric difference in ONE signed aggregation: both sides
+    // are distinct-by-construction on one side and a bijective map of it
+    // on the other, so |exceptAll(a,b)| + |exceptAll(b,a)| ==
+    // sum over rows of |count_a - count_b|
+    val diff = stmts.withColumn("__w", lit(1L))
+      .unionByName(back.withColumn("__w", lit(-1L)))
+      .groupBy(cols.head, cols.tail: _*)
+      .agg(sum(col("__w")).as("__d"))
+      .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_mismatch"))
+    stmts.agg(count(lit(1)).as("n_statements")).crossJoin(diff)
   }
 
   // ------------------------------------------------------- law family
@@ -1071,7 +1099,8 @@ object KgQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_pipeline_triples" -> pipelineTriples,
-    "kg_facet_pivot" -> facetPivot,
+    "kg_facet_pivot" -> ((s: SparkSession, d: String) =>
+      facetPivot(s, d).orderBy("uri")),
     "kg_stats" -> stats,
     "kg_annotations" -> annotations,
     "kg_deps" -> deps,

@@ -37,19 +37,15 @@ object MultiModal {
   def pngEncode(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: same pixel values as the per-pixel loop, one copy
+    val px = new Array[Int](w * h)
     var i = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = seed(i % seed.length) & 0xff
-        val rgb = (v << 16) | (((v * 7) & 0xff) << 8) | ((v * 13) & 0xff)
-        img.setRGB(x, y, rgb)
-        i += 1
-        x += 1
-      }
-      y += 1
+    while (i < px.length) {
+      val v = seed(i % seed.length) & 0xff
+      px(i) = (v << 16) | (((v * 7) & 0xff) << 8) | ((v * 13) & 0xff)
+      i += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -62,19 +58,18 @@ object MultiModal {
       new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val hist = new Array[Int](16)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff
-        val g = (rgb >> 8) & 0xff
-        val b = rgb & 0xff
-        val lum = (0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255)
-        hist(lum >> 4) += 1
-        x += 1
-      }
-      y += 1
+    // bulk getRGB: identical ARGB values to the per-pixel accessor
+    val w = img.getWidth
+    val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      val lum = (0.299 * r + 0.587 * g + 0.114 * b).toInt.min(255)
+      hist(lum >> 4) += 1
+      i += 1
     }
     hist
   }

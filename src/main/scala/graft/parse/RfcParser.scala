@@ -138,9 +138,29 @@ object RfcParser {
     else None
   })
 
+  /** Single-pass equivalent of split("\\s+")-filter-mkString(" "):
+    * whitespace runs collapse to one space, leading/trailing dropped. */
+  private def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // exactly the regex \s class: [ \t\n\x0B\f\r]
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   private def makeParagraph = Constructor[String]("make_paragraph", pushesState = false,
-    p => Some(TreeNode("Paragraph")
-      .appendText(wsRe.split(p.reader.next(), -1).filter(_.nonEmpty).mkString(" "))))
+    p => Some(TreeNode("Paragraph").appendText(normalizeWs(p.reader.next()))))
 
   private def makePreformatted = Constructor[String]("make_preformatted", pushesState = false,
     p => Some(TreeNode("Preformatted").appendText(p.reader.next())))

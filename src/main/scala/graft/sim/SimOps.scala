@@ -488,24 +488,29 @@ object SimOps {
     val d2 = (a: Column, b: Column) =>
       round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v), 6)
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("dist2").asc, col("cid").asc)
-      e.join(broadcast(cent), col("vec_id").isNotNull)
-        .withColumn("dist2", d2(col("v"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("dist2"))
+    // assignment as a pure expression: the centroids are a driver-side
+    // k×d map already, so instead of broadcast-join + per-vector window
+    // rank (two exchanges per iteration) the nearest centroid is an
+    // array_min over a LITERAL centroid array — struct (dist2, cid)
+    // ordering reproduces the former (dist2 asc, cid asc) tie-break
+    // exactly, and d2 is the identical fold expression
+    def assign(cent: Map[Int, Seq[Double]]): DataFrame = {
+      val centArr = array(cent.toSeq.sortBy(_._1).map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), typedLit(cv).as("cv"))
+      }: _*)
+      e.withColumn("best", array_min(transform(centArr,
+          c => struct(d2(col("v"), c.getField("cv")).as("dist2"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("v"), col("best.cid").as("cid"),
+          col("best.dist2").as("dist2"))
     }
     var cents: Map[Int, Seq[Double]] = e
       .filter(pmod(col("vec_id"), lit(step)) === 0 &&
         col("vec_id") < step * k)
       .select((col("vec_id") / step).cast("int").as("cid"), col("v"))
       .as[(Int, Seq[Double])].collect().toMap
-    def centDf(c: Map[Int, Seq[Double]]): DataFrame =
-      c.toSeq.sortBy(_._1).toDF("cid", "cv")
     for (_ <- 1 to iters) {
-      val means = assign(centDf(cents))
+      val means = assign(cents)
         .select(col("cid"), posexplode(col("v")))
         .toDF("cid", "pos", "x")
         .groupBy("cid", "pos").agg(round(avg("x"), 6).as("m"))
@@ -519,7 +524,7 @@ object SimOps {
       }
     }
     val popW = Window.partitionBy("cluster")
-    assign(centDf(cents))
+    assign(cents)
       .select(col("vec_id"), col("cid").as("cluster"), col("dist2"))
       .withColumn("n_members", count(lit(1)).over(popW))
       .orderBy("vec_id")
