@@ -115,7 +115,8 @@ object BenchExtra {
         val sameAs = graft.kg.KgPipeline.sameAsEdges(s, nn)
         val curated = graft.kg.KgPipeline.curatedTriples(s, nn)
         val conf = graft.kg.KgPipeline.Conf(workDir = s"$wd/out", n = nn,
-          seed = 42L, runId = s"extra-$tag")
+          seed = 42L, runId = s"extra-$tag",
+          broadcastDict = sys.env.getOrElse("SPARK_GRAFT_BCAST", "true").toBoolean)
         val sum = graft.kg.KgPipeline.run(s, conf, input, sameAs, curated)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
         sum

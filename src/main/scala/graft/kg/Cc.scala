@@ -93,12 +93,14 @@ object Cc {
     } finally e0.unpersist(blocking = false)
   }
 
-  /** Driver-side union-find (path-halving + union by attaching to the
-    * lexicographically smaller root so the representative invariant —
-    * min string label — matches the distributed path exactly). */
-  def localComponents(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
-    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+  /** Driver-side union-find over collected pairs (path-halving + union by
+    * attaching to the lexicographically smaller root so the representative
+    * invariant — min string label — matches the distributed path exactly).
+    * Exposed as an array so callers that stay on the driver (the
+    * canon-map rep pick) can consume it without a parallelize/collect
+    * round trip. */
+  def localComponentPairs(
+      pairs: Array[(String, String)]): IndexedSeq[(String, String)] = {
     val idx = scala.collection.mutable.HashMap.empty[String, Int]
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     def id(s: String): Int = idx.getOrElseUpdate(s, { names += s; names.size - 1 })
@@ -117,17 +119,26 @@ object Cc {
         if (names(ra) <= names(rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
+    names.indices.map(i => (names(i), names(find(i))))
+  }
+
+  /** Parallelize driver-side (uri, canon) rows with explicit slices: a
+    * createDataset LocalRelation ships the WHOLE row set inside every
+    * downstream task binary (observed 7.6 MiB task warnings at n=200k);
+    * sliced RDD partitions ship each task only its share. Sliced by SIZE,
+    * not core count: clamping to defaultParallelism put the whole row set
+    * into one task at local[1] (3 MiB task warnings). */
+  def parallelizePairs(spark: SparkSession,
+                       rows: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val rows = names.indices.map(i => (names(i), names(find(i))))
-    // parallelize with explicit slices: a createDataset LocalRelation
-    // ships the WHOLE row set inside every downstream task binary
-    // (observed 7.6 MiB task warnings at n=200k); sliced RDD partitions
-    // ship each task only its share
-    // slice by SIZE, not core count: clamping to defaultParallelism put
-    // the whole row set into one task at local[1] (3 MiB task warnings)
     val parts = math.max(1, math.min(256, rows.size / 5000 + 1))
     spark.createDataset(
-      spark.sparkContext.parallelize(rows.toSeq, parts)).toDF("uri", "canon")
+      spark.sparkContext.parallelize(rows, parts)).toDF("uri", "canon")
+  }
+
+  def localComponents(e: DataFrame): DataFrame = {
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    parallelizePairs(e.sparkSession, localComponentPairs(pairs))
   }
 
   /** Distributed min-label propagation with pointer jumping. */

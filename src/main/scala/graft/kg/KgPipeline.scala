@@ -66,18 +66,46 @@ object KgPipeline {
     * URIs and this engine's own /sfs/ space (a law's rinfo owl:sameAs
     * equivalent must fold INTO the minted act URI, not absorb it) — else
     * lexicographic min. Output only rows that actually change
-    * (uri != canon) to keep the rewrite broadcast small. */
-  def canonMap(cc: DataFrame): DataFrame = {
-    val ranked = cc.withColumn("rk",
-      when(col("uri").contains("/rfc/") ||
-        col("uri").startsWith(s"${EntityDict.base}/sfs/"), lit(0))
-        .otherwise(lit(1)))
-    ranked.groupBy(col("canon").as("comp"))
-      .agg(min(struct(col("rk"), col("uri"))).as("rep"))
-      .select(col("comp"), col("rep.uri").as("repUri"))
-      .join(cc, col("canon") === col("comp"))
-      .select(col("uri"), col("repUri").as("canon"))
-      .filter(col("uri") =!= col("canon"))
+    * (uri != canon) to keep the rewrite broadcast small.
+    *
+    * Fast path: the CC output only holds ALIASED vertices (tiny relative
+    * to the corpus), so below the same driver byte budget the CC itself
+    * uses, the rep pick runs driver-side — one collect instead of a
+    * groupBy + join + filter job chain (the chain is driver-serial fixed
+    * cost at bench scale). Above budget the distributed shape is
+    * unchanged. Both paths produce identical rows (asserted in KgSpec). */
+  /** Driver-side rep pick over (uri, minLabelComp) pairs — the exact
+    * semantics of the distributed branch below (rank tier, then min
+    * string; identity rows dropped). */
+  def canonMapLocal(rows: Seq[(String, String)]): Seq[(String, String)] = {
+    def rk(uri: String): Int =
+      if (uri.contains("/rfc/") ||
+        uri.startsWith(s"${EntityDict.base}/sfs/")) 0 else 1
+    val rep = rows.groupBy(_._2).map { case (comp, members) =>
+      comp -> members.map(_._1).minBy(u => (rk(u), u))
+    }
+    rows.collect { case (uri, comp) if rep(comp) != uri => (uri, rep(comp)) }
+  }
+
+  def canonMap(cc: DataFrame,
+               localByteBudget: Long = Cc.LocalByteBudget): DataFrame = {
+    val spark = cc.sparkSession
+    if (Cc.fitsDriverBudget(cc, "uri", "canon", localByteBudget)) {
+      import spark.implicits._
+      val rows = cc.select("uri", "canon").as[(String, String)].collect()
+      Cc.parallelizePairs(spark, canonMapLocal(rows.toSeq))
+    } else {
+      val ranked = cc.withColumn("rk",
+        when(col("uri").contains("/rfc/") ||
+          col("uri").startsWith(s"${EntityDict.base}/sfs/"), lit(0))
+          .otherwise(lit(1)))
+      ranked.groupBy(col("canon").as("comp"))
+        .agg(min(struct(col("rk"), col("uri"))).as("rep"))
+        .select(col("comp"), col("rep.uri").as("repUri"))
+        .join(cc, col("canon") === col("comp"))
+        .select(col("uri"), col("repUri").as("canon"))
+        .filter(col("uri") =!= col("canon"))
+    }
   }
 
   /** Run all stages over `input`. Pass `sameAsEdges`/`curated` for the
@@ -113,6 +141,48 @@ object KgPipeline {
       (if (partitioned) w.partitionBy("repo", "lang") else w).save(path(t))
     }
     def read(t: String): DataFrame = spark.read.format(fmt).load(path(t))
+    // Row count of a just-written stage table. For a parquet table with a
+    // bounded file count the parquet footers carry the EXACT row counts —
+    // summing them driver-side replaces a full count() job (each count is
+    // ~constant driver-serial latency that the 4N scaling level pays
+    // disproportionately). Falls back to a distributed count() for other
+    // formats or once the file count could make driver listing itself the
+    // bottleneck (the 100 TB posture: production tables count via write
+    // metrics / manifest stats, which this stands in for).
+    def tableRowCount(t: String): Long = {
+      if (fmt != "parquet") return read(t).count()
+      try {
+        val hconf = spark.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(path(t))
+        val fs = root.getFileSystem(hconf)
+        val it = fs.listFiles(root, true)
+        val files = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) files += f
+        }
+        if (files.size > 2048) read(t).count()
+        else {
+          // footer reads are independent metadata I/O — fan them out on a
+          // driver pool so the cost is ~constant instead of
+          // files × per-footer latency (driver-serial time is exactly
+          // what the 4N scaling level cannot amortize)
+          import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val sums = files.grouped(math.max(1, files.size / 16)).toSeq.map {
+            grp => Future(blocking(grp.iterator.map { f =>
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(f, hconf))
+              try r.getRecordCount finally r.close()
+            }.sum))
+          }
+          Await.result(Future.sequence(sums), Duration.Inf).sum
+        }
+      } catch { case _: Exception => read(t).count() }
+    }
 
     // ---- stage P (with resume: skip rows already parsed with same sha)
     val toParse: Dataset[SourceFile] =
@@ -154,8 +224,40 @@ object KgPipeline {
     // order preserved: lineage only reads the already-committed docs table)
     // runs as concurrent jobs against the cache
     timed("p1_parse_docs")(writeMode(KgStages.docsDf(parsedPersisted), "docs"))
+    // The C stage depends only on the doc_triples table (p2), so it
+    // launches AS SOON AS that commit lands, overlapping the p3/p5 tail
+    // instead of waiting for the whole P wave — its driver-serial pieces
+    // (the local CC/canon solve) back-fill cores the P tail leaves idle.
+    var parsedRows = 0L
+    var failedRows = 0L
     inParallel(
-      () => timed("p2_doc_triples")(writeMode(KgStages.docTriplesDf(parsedPersisted), "doc_triples")),
+      () => {
+        timed("p2_doc_triples")(writeMode(KgStages.docTriplesDf(parsedPersisted), "doc_triples"))
+        timed("c1_cc") {
+          // curated edges + the parse-minted owl:sameAs equivalents
+          val allEdges = sameAs.toDF("src", "dst").unionByName(
+            read("doc_triples").filter(col("pred") === Vocab.OWL_SAMEAS &&
+                !col("objIsLiteral"))
+              .select(col("subj").as("src"), col("obj").as("dst")))
+          // ONE driver gate for CC + canon: below the byte budget the
+          // whole C stage runs driver-side off a single collect (4 Spark
+          // jobs: probe ×2, collect, canon write) instead of gating CC
+          // and canon separately (7-8 jobs of driver-serial latency —
+          // the 4N level's scaling killer). Above budget: the unchanged
+          // distributed path.
+          val e0 = allEdges.toDF("src", "dst")
+            .filter(col("src") =!= col("dst")).persist()
+          try {
+            val canonDf =
+              if (Cc.fitsDriverBudget(e0, "src", "dst", Cc.LocalByteBudget)) {
+                val pairs = e0.collect().map(r => (r.getString(0), r.getString(1)))
+                Cc.parallelizePairs(spark,
+                  canonMapLocal(Cc.localComponentPairs(pairs)))
+              } else canonMap(Cc.distributedComponents(e0))
+            write(canonDf, "canon")
+          } finally e0.unpersist(blocking = false)
+        }
+      },
       () => timed("p3_mentions")(writeMode(KgStages.mentionsDf(parsedPersisted), "mentions")),
       () => timed("p4_failures")(writeMode(KgStages.failuresDf(parsedPersisted), "failures")),
       () => timed("p5_lineage")(KgStages.lineageDf(read("docs"), "parse", conf.runId)
@@ -163,49 +265,39 @@ object KgPipeline {
     parsedPersisted.unpersist()
     patchedCache.foreach(_.unpersist())
 
-    val docs = read("docs")
     val docTriples0 = read("doc_triples")
     val mentions = read("mentions")
-
-    // ---- stage L + stage C + counts, all mutually independent → overlap.
-    // C needs only the sameAs edges; L needs mentions + the dictionary;
-    // the counts read stage-P outputs. M below is the barrier.
-    val dict = KgStages.entityDictionary(docTriples0)
-    val linked = KgStages.linkStage(mentions, dict,
-      broadcastDict = conf.broadcastDict, salt = conf.salt).persist()
-    var parsedRows = 0L
-    var failedRows = 0L
-    // Wave 1 populates the `linked` cache with ONE computation (concurrent
-    // first actions on an unfilled persist would each recompute the join —
-    // observed as l1≈l2≈l3 all paying the build), overlapped with the
-    // linked-independent C stage and counts; wave 2's three aggregations
-    // then all read the cache.
-    inParallel(
-      () => timed("l0_link_build")(linked.count()): Unit,
-      () => timed("c1_cc") {
-        // curated edges + the parse-minted owl:sameAs equivalents
-        val allEdges = sameAs.toDF("src", "dst").unionByName(
-          docTriples0.filter(col("pred") === Vocab.OWL_SAMEAS &&
-              !col("objIsLiteral"))
-            .select(col("subj").as("src"), col("obj").as("dst")))
-        val cc = Cc.connectedComponents(allEdges)
-        write(canonMap(cc), "canon")
-      },
-      () => { parsedRows = timed("p6_counts")(docs.count()) },
-      () => { failedRows = timed("p6_counts")(read("failures").count()) })
-    inParallel(
-      () => timed("l1_link_triples")(write(KgStages.linkTriplesDf(linked), "link_triples")),
-      () => timed("l2_deps")(write(KgStages.depsDf(linked), "deps")),
-      () => timed("l3_skeleton")(write(KgStages.skeletonDf(linked), "skeleton")))
-    linked.unpersist()
+    // counts are parquet-footer sums (sub-second) — after the wave so the
+    // failures table exists
+    parsedRows = timed("p6_counts")(tableRowCount("docs"))
+    failedRows = timed("p6_counts")(tableRowCount("failures"))
     // fuzzy label upgrade of publisher literals (ratio >= 0.8)
     val docTriples = KgStages.fuzzyUpgrade(docTriples0,
       EntityDict.publishers, Seq(Vocab.dcterms("publisher")))
 
-    // ---- stage M
-    val finalTriples = KgStages.materialize(
-      docTriples, read("link_triples"), curated, read("canon"))
-    timed("m1_materialize")(write(finalTriples, "triples", partitioned = true))
+    // ---- stages L and M, overlapped. The former linked cache (mention ×
+    // dictionary join persisted, then aggregated three ways) is gone:
+    // link_triples is a pure mention dedup (it never used `resolved`),
+    // deps aggregates mentions FIRST and joins the dictionary once, and
+    // skeleton anti-joins the deps targets — one broadcast build instead
+    // of the full joined cache. deps/skeleton do not feed materialize, so
+    // they run concurrently with the m1 write and back-fill its serial
+    // phases (output commit, stage tails).
+    inParallel(
+      () => {
+        timed("l1_link_triples")(write(KgStages.linkTriplesDf(mentions), "link_triples"))
+        val finalTriples = KgStages.materialize(
+          docTriples, read("link_triples"), curated, read("canon"))
+        timed("m1_materialize")(write(finalTriples, "triples", partitioned = true))
+      },
+      () => {
+        val dict = KgStages.entityDictionary(docTriples0)
+        timed("l2_deps")(write(
+          KgStages.depsFromMentions(mentions, dict,
+            broadcastDict = conf.broadcastDict), "deps"))
+        timed("l3_skeleton")(write(KgStages.skeletonFromMentions(mentions,
+          read("deps").select(col("target"))), "skeleton"))
+      })
     val out = read("triples")
     // materialize-stage lineage fold: xxhash64, not sha2 — the fold only
     // needs order-independent stability, and crypto hashing 10^6+ triples
@@ -222,9 +314,9 @@ object KgPipeline {
           col("subj"), col("pred"), col("obj"), col("graph"))))),
         "materialize", conf.runId)
         .write.mode("append").format(fmt).save(path("lineage"))),
-      () => { tripleCount = timed("m3_counts")(out.count()) },
-      () => { mentionCount = timed("m3_counts")(mentions.count()) },
-      () => { linkCount = timed("m3_counts")(read("link_triples").count()) })
+      () => { tripleCount = timed("m3_counts")(tableRowCount("triples")) },
+      () => { mentionCount = timed("m3_counts")(tableRowCount("mentions")) },
+      () => { linkCount = timed("m3_counts")(tableRowCount("link_triples")) })
     val inputRows =
       if (conf.resume) pendingRows else parsedRows + failedRows
     Summary(inputRows, parsedRows, failedRows, tripleCount, mentionCount,

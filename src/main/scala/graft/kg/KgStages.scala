@@ -239,6 +239,36 @@ object KgStages {
     linked.filter(!col("resolved") && !col("grammar").isin("URLRef"))
       .select(col("candidateKey").as("uri")).distinct()
 
+  /** deps computed directly from the mention table: aggregate FIRST
+    * (map-side partial aggregation shrinks the shuffle to one row per
+    * target — guide §2.3), then ONE broadcast dictionary join keeps only
+    * resolved targets. Row-identical to `depsDf(linkStage(mentions,
+    * dict))` (asserted in KgSpec) without materializing the full
+    * mention×dict join. */
+  def depsFromMentions(mentions: DataFrame, dict: DataFrame,
+                       broadcastDict: Boolean = true): DataFrame = {
+    val d = dict.select(col("uri"))
+    mentions.groupBy(col("candidateKey").as("target"))
+      .agg(sort_array(collect_set(col("docId"))).as("sources"),
+        count(lit(1)).as("n_refs"))
+      .join(if (broadcastDict) broadcast(d) else d,
+        col("target") === col("uri"))
+      .drop("uri")
+  }
+
+  /** skeleton from the mention table plus the already-computed deps
+    * targets: {candidateKey with a non-URLRef mention} ∖ {resolved
+    * targets}. Equivalent to `skeletonDf(linkStage(...))`: a resolved
+    * target with any mention IS a deps row, and a key whose mentions are
+    * all URLRef never enters either side's candidate set. Asserted in
+    * KgSpec. */
+  def skeletonFromMentions(mentions: DataFrame,
+                           depsTargets: DataFrame): DataFrame =
+    mentions.filter(!col("grammar").isin("URLRef"))
+      .select(col("candidateKey").as("uri")).distinct()
+      .join(broadcast(depsTargets.select(col("target"))),
+        col("uri") === col("target"), "left_anti")
+
   /** Fuzzy label linking: literal triples on label-bearing predicates are
     * scored against a (label → uri) dictionary. Blocking = shared token
     * (Jaccard-style blocking per north_star: candidates must share at least
@@ -296,7 +326,7 @@ object KgStages {
     * writer should produce. */
   def materialize(docTriples: DataFrame, linkTriples: DataFrame,
                   curated: DataFrame, canon: DataFrame,
-                  writeSalt: Int = 8): DataFrame = {
+                  writeSalt: Int = 4): DataFrame = {
     val all = docTriples
       .unionByName(linkTriples)
       .unionByName(curated, allowMissingColumns = true)

@@ -135,6 +135,47 @@ class KgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!canon.contains("https://example.org/rfc/1000")) // identity rows dropped
   }
 
+  test("depsFromMentions/skeletonFromMentions == linked-cache formulations") {
+    // the pipeline's aggregate-first L stage must match the linkStage-based
+    // operators the query surface uses, row for row
+    val input = KgPipeline.synthesizeInput(spark, 300, 42L)
+    val parsed = KgStages.parseStage(input).persist()
+    val mentions = KgStages.mentionsDf(parsed)
+    val dict = KgStages.entityDictionary(KgStages.docTriplesDf(parsed))
+    val linked = KgStages.linkStage(mentions, dict).persist()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val depsA = KgStages.depsDf(linked)
+    val depsB = KgStages.depsFromMentions(mentions, dict)
+    assert(rows(depsA) == rows(depsB))
+    assert(depsA.columns.toSeq == depsB.columns.toSeq)
+    val skelA = KgStages.skeletonDf(linked)
+    val skelB = KgStages.skeletonFromMentions(mentions,
+      depsB.select(org.apache.spark.sql.functions.col("target")))
+    assert(rows(skelA) == rows(skelB))
+    assert(skelA.columns.toSeq == skelB.columns.toSeq)
+    assert(rows(depsA).nonEmpty && rows(skelA).nonEmpty)
+    linked.unpersist(); parsed.unpersist()
+  }
+
+  test("canonMap: driver fast path and distributed path produce identical rows") {
+    import spark.implicits._
+    // chains + a star, mixing minted (/rfc/) and plain URIs so the rep
+    // pick exercises both rank tiers
+    val edges = ((0 until 40).map(i =>
+        (s"https://example.org/alias/a$i", s"https://example.org/rfc/${i % 7}")) ++
+      (0 until 10).map(i =>
+        (s"https://example.org/alias/b$i", s"https://example.org/alias/a$i")))
+      .toDF("src", "dst")
+    val cc = Cc.connectedComponents(edges)
+    val viaLocal = KgPipeline.canonMap(cc)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaDist = KgPipeline.canonMap(cc, localByteBudget = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaLocal == viaDist)
+    assert(viaLocal.nonEmpty)
+  }
+
   test("pipeline end-to-end: P/R >= 0.95 vs ground truth (target: 1.0)") {
     val conf = KgPipeline.Conf(workDir = tmpDir(), n = 80, seed = 42L)
     val s = KgPipeline.runSynthetic(spark, conf)
