@@ -813,16 +813,19 @@ object KgQueries {
       .selectExpr("1 AS part", "subj AS key",
         s"${curieSql("subj", duck = false)} || ' ' || body || ' .' AS ttl")
     // one scalar probe: which namespaces does the graph touch at all?
-    val terms = tr.select(col("pred").as("u"))
-      .union(tr.filter(!col("objIsLiteral")).select(col("obj")))
-      .union(tr.filter(col("objDatatype").isNotNull).select(col("objDatatype")))
-      .union(tr.select(col("subj")))
-    val usedRow = terms.agg(
-      TtlPrefixes.map { case (p, ns) =>
-        max(col("u").startsWith(ns)).as(p)
-      }.head, TtlPrefixes.map { case (p, ns) =>
-        max(col("u").startsWith(ns)).as(p)
-      }.tail: _*).collect()(0)
+    // One pass instead of a 4-branch union: a prefix is used iff ANY of
+    // the four term positions starts with it (objects only when URIs,
+    // datatypes only when present) — same booleans, one scan of the
+    // cached statement set.
+    def usedCol(ns: String) =
+      max(col("pred").startsWith(ns) ||
+        (!col("objIsLiteral") && col("obj").startsWith(ns)) ||
+        (col("objDatatype").isNotNull && col("objDatatype").startsWith(ns)) ||
+        col("subj").startsWith(ns))
+    val usedRow = tr.agg(
+      usedCol(TtlPrefixes.head._2).as(TtlPrefixes.head._1),
+      TtlPrefixes.tail.map { case (p, ns) => usedCol(ns).as(p) }: _*)
+      .collect()(0)
     val header = TtlPrefixes.zipWithIndex.collect {
       case ((p, ns), i) if usedRow.getBoolean(i) =>
         (0, p, s"@prefix $p: <$ns> .")

@@ -204,6 +204,11 @@ object TextOps {
     * and bit-reproducible in the DuckDB oracle. The model is tiny
     * (|alphabet|² entries) and broadcasts. */
   def charLmScore(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE (tried, reverted): exploding positions and slicing with
+    // substring(text, i, 2) per row is QUADRATIC — UTF8String.substring
+    // is code-point-indexed and scans from the string start on every
+    // call (measured 2.8 -> 3.8 s). The transform() array build is the
+    // faster shape.
     val bi = docs(spark, dir)
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), explode(expr(
